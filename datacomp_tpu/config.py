@@ -1,0 +1,161 @@
+"""Typed application configuration.
+
+TPU-native re-expression of the reference's HOCON config
+(``resources/application.conf`` + ``config/AppConfig.java:25-144``).  The same
+namespaces are kept — ``compression``, ``device`` (was ``gpu``), ``benchmark``,
+``logging``, ``output`` — with TPU-appropriate knobs replacing GPU-only ones
+(no VRAM-by-device-name heuristics: TPU HBM is known and shapes are static).
+
+Config sources, in override order (lowest → highest):
+1. built-in defaults below,
+2. a TOML file (``datacomp.toml`` in CWD, or ``DATACOMP_CONFIG`` env var),
+3. ``DATACOMP_<SECTION>_<KEY>`` environment variables,
+4. explicit keyword overrides passed to :func:`load_config`.
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Optional
+
+
+@dataclass(frozen=True)
+class CompressionConfig:
+    chunk_size_mb: int = 16
+    io_buffer_size_kb: int = 256
+    cpu_threads: int = 0  # 0 = auto (clamp(cores, 2, 8), reference parity)
+    subblock_symbols: int = 4096  # v2 gap-array granularity (symbols per sub-block)
+    format_version: int = 1  # 1 = reference-bit-compatible, 2 = +gap arrays
+    codebook_mode: str = "java"  # "java" = bit-exact reference tie-breaks, "fast"
+
+
+@dataclass(frozen=True)
+class DeviceConfig:
+    auto_detect: bool = True
+    force_cpu: bool = False
+    platform: str = "any"  # "tpu", "cpu", "any"
+    device_index: int = -1  # -1 = auto
+    fallback_on_error: bool = True
+    # Number of chunks resident on device concurrently (sized against HBM).
+    parallel_chunks: int = 2
+    # Pad chunks to this many bytes on device (static shapes for XLA).
+    # 0 = equal to chunk size.
+    device_chunk_pad: int = 0
+
+
+@dataclass(frozen=True)
+class BenchmarkConfig:
+    warmup_iterations: int = 3
+    measurement_iterations: int = 5
+    detailed_profiling: bool = False
+    output_format: str = "console"  # "console", "json", "csv"
+
+
+@dataclass(frozen=True)
+class LoggingConfig:
+    level: str = "INFO"
+    metrics_enabled: bool = True
+    file_path: str = ""
+
+
+@dataclass(frozen=True)
+class OutputConfig:
+    default_directory: str = ""
+    compressed_extension: str = ".dcz"
+    verify_after_compress: bool = True
+    keep_original: bool = True
+
+
+@dataclass(frozen=True)
+class AppConfig:
+    compression: CompressionConfig = field(default_factory=CompressionConfig)
+    device: DeviceConfig = field(default_factory=DeviceConfig)
+    benchmark: BenchmarkConfig = field(default_factory=BenchmarkConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+
+    @property
+    def chunk_size_bytes(self) -> int:
+        return self.compression.chunk_size_mb * 1024 * 1024
+
+    def effective_cpu_threads(self) -> int:
+        n = self.compression.cpu_threads
+        if n > 0:
+            return n
+        cores = os.cpu_count() or 2
+        return max(2, min(cores, 8))  # reference parity: CpuCompressionService.java:42-44
+
+
+_SECTION_TYPES = {
+    "compression": CompressionConfig,
+    "device": DeviceConfig,
+    "benchmark": BenchmarkConfig,
+    "logging": LoggingConfig,
+    "output": OutputConfig,
+}
+
+
+def _coerce(value: str, target_type: type) -> Any:
+    if target_type is bool:
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    return value
+
+
+def _apply_section(section_obj, overrides: dict):
+    valid = {f.name: f.type for f in fields(section_obj)}
+    clean = {}
+    for k, v in overrides.items():
+        key = k.replace("-", "_")
+        if key in valid:
+            clean[key] = v
+    return replace(section_obj, **clean)
+
+
+def load_config(path: Optional[str] = None, **overrides) -> AppConfig:
+    """Load configuration from defaults + TOML file + env + overrides.
+
+    ``overrides`` are flat dotted keys, e.g.
+    ``load_config(compression={"chunk_size_mb": 32})``.
+    """
+    cfg = AppConfig()
+
+    file_path = path or os.environ.get("DATACOMP_CONFIG")
+    if file_path is None and os.path.exists("datacomp.toml"):
+        file_path = "datacomp.toml"
+    file_data: dict = {}
+    if file_path and os.path.exists(file_path):
+        with open(file_path, "rb") as f:
+            file_data = tomllib.load(f)
+        # allow a top-level [datacomp] table like the reference's `datacomp {}`
+        file_data = file_data.get("datacomp", file_data)
+
+    sections = {}
+    for name, _ in _SECTION_TYPES.items():
+        section = getattr(cfg, name)
+        if name in file_data and isinstance(file_data[name], dict):
+            section = _apply_section(section, file_data[name])
+        # env vars: DATACOMP_COMPRESSION_CHUNK_SIZE_MB=32
+        env_over = {}
+        prefix = f"DATACOMP_{name.upper()}_"
+        for ek, ev in os.environ.items():
+            if ek.startswith(prefix):
+                key = ek[len(prefix) :].lower()
+                for f in fields(section):
+                    if f.name == key:
+                        try:
+                            env_over[key] = _coerce(ev, type(getattr(section, key)))
+                        except ValueError:
+                            pass
+        if env_over:
+            section = _apply_section(section, env_over)
+        if name in overrides and isinstance(overrides[name], dict):
+            section = _apply_section(section, overrides[name])
+        sections[name] = section
+
+    return AppConfig(**sections)

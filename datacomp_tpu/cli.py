@@ -1,0 +1,221 @@
+"""Command-line interface.
+
+Parity surface: ``cli/DataCompCLI.java:24-43`` — ``compress|c`` /
+``decompress|d <input> <output> [chunkMB]`` with progress %, final
+size/ratio/time/MB/s report — extended with ``verify``, ``resume``, ``bench``
+and ``gen`` subcommands and backend selection (the reference CLI is CPU-only;
+here ``--backend tpu`` engages the device pipeline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+from .config import load_config
+from .models import MetricsService
+
+
+def _progress_printer(label: str):
+    state = {"last": -1}
+
+    def cb(frac: float) -> None:
+        pct = int(frac * 100)
+        if pct != state["last"]:
+            state["last"] = pct
+            print(f"\r{label}: {pct}%", end="", flush=True)
+
+    return cb
+
+
+def _make_service(args):
+    cfg = load_config(
+        compression={
+            "chunk_size_mb": args.chunk_mb,
+            "format_version": getattr(args, "format", 1),
+        },
+    )
+    if args.backend == "cpu":
+        from .services.cpu_service import CpuCompressionService
+
+        return CpuCompressionService(cfg)
+    if args.backend == "tpu":
+        from .services.tpu_service import TpuCompressionService
+
+        return TpuCompressionService(cfg)
+    from .services.factory import create_compression_service
+
+    return create_compression_service(cfg)
+
+
+def _report(op: str, in_path: str, out_path: str, seconds: float) -> None:
+    in_size = os.path.getsize(in_path)
+    out_size = os.path.getsize(out_path)
+    # compression throughput over input bytes; decompression over output
+    # bytes (reference parity: DataCompCLI.java:114-119)
+    mbps = max(in_size if op == "Compression" else out_size, 0) / 1e6 / max(seconds, 1e-9)
+    print(f"\n{op} complete:")
+    print(f"  Input:      {in_size:,} bytes")
+    print(f"  Output:     {out_size:,} bytes")
+    if op == "Compression" and in_size > 0:
+        print(f"  Ratio:      {out_size / in_size * 100:.2f}%")
+        print(f"  Space saved: {(1 - out_size / in_size) * 100:.2f}%")
+    print(f"  Time:       {seconds:.2f} s")
+    print(f"  Throughput: {mbps:.2f} MB/s")
+
+
+def cmd_compress(args) -> int:
+    svc = _make_service(args)
+    try:
+        t0 = time.perf_counter()
+        svc.compress(args.input, args.output, _progress_printer("Compressing"))
+        _report("Compression", args.input, args.output, time.perf_counter() - t0)
+        if args.stages:
+            print(svc.get_last_stage_metrics().summary())
+        return 0
+    finally:
+        svc.close()
+
+
+def cmd_decompress(args) -> int:
+    svc = _make_service(args)
+    try:
+        t0 = time.perf_counter()
+        svc.decompress(args.input, args.output, _progress_printer("Decompressing"))
+        _report("Decompression", args.input, args.output, time.perf_counter() - t0)
+        if args.stages:
+            print(svc.get_last_stage_metrics().summary())
+        return 0
+    finally:
+        svc.close()
+
+
+def cmd_verify(args) -> int:
+    svc = _make_service(args)
+    try:
+        ok = svc.verify_integrity(args.input, deep=args.deep)
+        print(f"{args.input}: {'OK' if ok else 'CORRUPT'}")
+        return 0 if ok else 1
+    finally:
+        svc.close()
+
+
+def cmd_resume(args) -> int:
+    svc = _make_service(args)
+    try:
+        t0 = time.perf_counter()
+        svc.resume_compression(
+            args.input, args.output, args.last_chunk, _progress_printer("Resuming")
+        )
+        _report("Compression", args.input, args.output, time.perf_counter() - t0)
+        return 0
+    finally:
+        svc.close()
+
+
+def cmd_bench(args) -> int:
+    from .benchmark.suite import BenchmarkSuite
+
+    suite = BenchmarkSuite(load_config())
+    results = suite.run_full_suite(
+        input_path=args.input, size_mb=args.size_mb, output_format=args.format_out
+    )
+    print(suite.format_results(results, args.format_out))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from .utils.testdata import generate_compressible_file, generate_random_file
+
+    if args.compressible:
+        generate_compressible_file(args.size_mb, args.output)
+    else:
+        generate_random_file(args.size_mb, args.output)
+    print(f"Generated: {os.path.abspath(args.output)}")
+    return 0
+
+
+def cmd_stats(args) -> int:
+    ms = MetricsService.get_instance()
+    recent = ms.get_recent()
+    if not recent:
+        print("No operations recorded in this session")
+        return 0
+    for m in recent:
+        print(
+            f"{m.file_name}: {m.operation.value} {m.original_size:,} B "
+            f"@ {m.throughput_mbps:.1f} MB/s [{m.backend}]"
+        )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dcz",
+        description="datacomp-tpu: TPU-native chunked canonical-Huffman compression",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp, output=True):
+        sp.add_argument("input")
+        if output:
+            sp.add_argument("output")
+        sp.add_argument("chunk_mb", nargs="?", type=int, default=16,
+                        help="chunk size in MB (default 16)")
+        sp.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
+        sp.add_argument("--stages", action="store_true", help="print per-stage timing")
+
+    sp = sub.add_parser("compress", aliases=["c"], help="compress a file")
+    common(sp)
+    sp.add_argument("--format", type=int, choices=[1, 2], default=1,
+                    help="container version: 1=reference-compatible, 2=+gap arrays (TPU decode)")
+    sp.set_defaults(func=cmd_compress)
+
+    sp = sub.add_parser("decompress", aliases=["d"], help="decompress a .dcz file")
+    common(sp)
+    sp.set_defaults(func=cmd_decompress)
+
+    sp = sub.add_parser("verify", help="verify container integrity")
+    common(sp, output=False)
+    sp.add_argument("--deep", action="store_true", help="full decode + checksum check")
+    sp.set_defaults(func=cmd_verify)
+
+    sp = sub.add_parser("resume", help="resume an interrupted compression")
+    common(sp)
+    sp.add_argument("--last-chunk", type=int, required=True,
+                    help="highest chunk index known completed (-1 restarts)")
+    sp.set_defaults(func=cmd_resume)
+
+    sp = sub.add_parser("bench", help="run the CPU-vs-TPU benchmark suite")
+    sp.add_argument("--input", default=None, help="benchmark input file (default: generated)")
+    sp.add_argument("--size-mb", type=int, default=16)
+    sp.add_argument("--format-out", choices=["console", "json", "csv"], default="console")
+    sp.set_defaults(func=cmd_bench)
+
+    sp = sub.add_parser("gen", help="generate deterministic test data")
+    sp.add_argument("size_mb", type=int)
+    sp.add_argument("output")
+    sp.add_argument("--compressible", action="store_true")
+    sp.set_defaults(func=cmd_gen)
+
+    sp = sub.add_parser("stats", help="show session metrics")
+    sp.set_defaults(func=cmd_stats)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.func(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except Exception as e:  # noqa: BLE001
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,308 @@
+"""TPU backend: device chunk codec + compression service with fallback chain.
+
+TPU-native re-architecture of the reference GPU backend
+(``service/gpu/GpuCompressionService.java``, ``GpuFrequencyService.java``).
+What the reference does with TornadoVM TaskGraphs, explicit H2D/D2H staging,
+VRAM-string heuristics and manual frees, this service does with XLA: jitted
+device functions over static padded chunk shapes, implicit transfers, and the
+platform's known HBM.  The reference's layered fallback chain is preserved:
+
+1. availability probe at init (1 KB test kernel,
+   ``GpuFrequencyService.isAvailable:255-283``),
+2. config-driven ``fallback_on_error``,
+3. whole-operation catch → CPU service
+   (``GpuCompressionService.java:160-167``),
+4. per-chunk decode: v1 containers (no gap arrays) and deep codebooks
+   (> 16-bit codes) delegate to the CPU codec — mirroring the reference's
+   deliberate CPU decompress delegation (``decompressGpuHybrid:852-862``) —
+   while v2 containers decode on device via gap arrays.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import AppConfig, load_config
+from ..core import container as ct, huffman
+from ..models import Stage, StageMetrics
+from ..ops import (
+    TABLE_BITS,
+    build_decode_table,
+    decode_device,
+    device_codebook,
+    encode_device,
+    histogram_device,
+    max_code_len,
+    payload_to_words,
+    words_to_bytes,
+)
+from ..utils.checksum import compute_sha256
+from .base import CompressionService, FrequencyService, ProgressCallback
+from .cpu_service import CpuChunkCodec, CpuCompressionService
+from .pipeline import ChunkCodec, ChunkedPipeline, EncodedChunk
+
+logger = logging.getLogger(__name__)
+
+
+def _get_jax():
+    import jax
+
+    return jax
+
+
+def pick_device(platform: str = "any", index: int = -1):
+    """Select the compute device, preferring TPU (the reference prefers
+    CUDA over OpenCL, ``GpuFrequencyService.findCudaDevice:53-84``)."""
+    jax = _get_jax()
+    devices = jax.devices()
+    if platform not in ("any", ""):
+        devices = [d for d in devices if platform in d.platform.lower()] or devices
+    else:
+        tpus = [d for d in devices if d.platform.lower() in ("tpu", "axon")]
+        devices = tpus or devices
+    if not devices:
+        raise RuntimeError("no JAX devices available")
+    if 0 <= index < len(devices):
+        return devices[index]
+    return devices[0]
+
+
+class TpuFrequencyService(FrequencyService):
+    """Device histogram service (parity surface: ``GpuFrequencyService``)."""
+
+    def __init__(self, config: Optional[AppConfig] = None):
+        self.config = config or load_config()
+        self._device = None
+        self._available: Optional[bool] = None
+
+    def _ensure_device(self):
+        if self._device is None:
+            self._device = pick_device(
+                self.config.device.platform, self.config.device.device_index
+            )
+        return self._device
+
+    def compute_histogram(self, data, offset: int = 0, length: Optional[int] = None) -> np.ndarray:
+        jax = _get_jax()
+        import jax.numpy as jnp
+
+        data = np.asarray(data, dtype=np.uint8)
+        if length is None:
+            length = data.size - offset
+        view = np.ascontiguousarray(data[offset : offset + length])
+        dev = self._ensure_device()
+        x = jax.device_put(view, dev)
+        return np.asarray(histogram_device(x, jnp.int32(length))).astype(np.int64)
+
+    def is_available(self) -> bool:
+        """Probe by running a 1 KB histogram on device (reference parity:
+        1 KB test kernel, ``GpuFrequencyService.java:255-283``)."""
+        if self._available is None:
+            try:
+                probe = np.arange(1024, dtype=np.uint8) % 251
+                h = self.compute_histogram(probe)
+                self._available = int(h.sum()) == 1024
+            except Exception as e:  # noqa: BLE001 — any failure ⇒ unavailable
+                logger.warning("TPU availability probe failed: %s", e)
+                self._available = False
+        return self._available
+
+    def get_service_name(self) -> str:
+        try:
+            return f"TPU Frequency Analysis ({self._ensure_device().device_kind})"
+        except Exception:  # noqa: BLE001
+            return "TPU Frequency Analysis (unavailable)"
+
+
+class TpuChunkCodec(ChunkCodec):
+    """Per-chunk device codec: device histogram → host (or device) codebook →
+    device encode; gap-array device decode for v2 containers."""
+
+    def __init__(self, config: AppConfig):
+        self.config = config
+        self.freq = TpuFrequencyService(config)
+        self._cpu = CpuChunkCodec(config)  # embedded fallback + v1 decode
+        self.padded_size = config.chunk_size_bytes
+        self.subblock = config.compression.subblock_symbols
+        # Output word capacity: Huffman average code length over the chunk
+        # that built the code is ≤ H+1 ≤ 9 bits/byte, so 9n/32 words suffice;
+        # a host-side guard below re-raises (→ CPU fallback) if ever exceeded.
+        self.out_words = (9 * self.padded_size + 31) // 32 + 2
+
+    # -- encode -------------------------------------------------------------
+
+    def encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
+        jax = _get_jax()
+        import jax.numpy as jnp
+
+        n = data.size
+        with metrics.timed(Stage.CHECKSUM_COMPUTE, n):
+            sha = compute_sha256(data.tobytes())
+        if n == 0:
+            lengths = np.zeros(256, np.int32)
+            return EncodedChunk(b"", lengths, sha, None)
+
+        dev = self.freq._ensure_device()
+        padded = np.zeros(self.padded_size, dtype=np.uint8)
+        padded[:n] = data
+        x = jax.device_put(padded, dev)
+
+        with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
+            hist_dev = histogram_device(x, jnp.int32(n))
+
+        mode = self.config.compression.codebook_mode
+        with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
+            if mode == "device":
+                lengths_dev, codes_dev = device_codebook(hist_dev)
+                lengths = np.asarray(lengths_dev)
+                codes = np.asarray(codes_dev).astype(np.uint32)
+            else:
+                hist = np.asarray(hist_dev).astype(np.int64)
+                lengths, codes = huffman.build_codebook(hist, mode=mode)
+                lengths_dev = jax.device_put(lengths, dev)
+                codes_dev = jax.device_put(codes, dev)
+
+        v2 = self.config.compression.format_version >= 2
+        with metrics.timed(Stage.ENCODING, n):
+            if v2:
+                words, total_bits, gaps = encode_device(
+                    x, jnp.int32(n), lengths_dev, codes_dev,
+                    self.out_words, self.subblock,
+                )
+                nsub = (n + self.subblock - 1) // self.subblock
+                gap_bits = np.asarray(gaps)[:nsub].astype(np.uint32)
+            else:
+                words, total_bits = encode_device(
+                    x, jnp.int32(n), lengths_dev, codes_dev, self.out_words
+                )
+                gap_bits = None
+            if int(total_bits) > self.out_words * 32:
+                raise RuntimeError("encoded stream exceeded device word capacity")
+            payload = words_to_bytes(np.asarray(words), int(total_bits))
+        return EncodedChunk(payload, lengths.astype(np.int32), sha, gap_bits)
+
+    # -- decode -------------------------------------------------------------
+
+    def decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
+        use_device = (
+            header.version >= ct.VERSION_V2
+            and meta.gap_bits is not None
+            and meta.gap_bits.size > 0
+            and header.subblock_symbols > 0
+            and 0 < max_code_len(meta.code_lengths) <= TABLE_BITS
+        )
+        if not use_device:
+            # v1 container or deep codebook: host decode (reference parity:
+            # GPU service delegates decompress to CPU, gpu/GpuCompressionService.java:852-862)
+            return self._cpu.decode_chunk(payload, meta, header, metrics)
+
+        jax = _get_jax()
+        dev = self.freq._ensure_device()
+        s = header.subblock_symbols
+        nsub_static = (header.chunk_size_bytes + s - 1) // s
+        with metrics.timed(Stage.HUFFMAN_TREE_BUILD):
+            table = build_decode_table(meta.code_lengths)
+        with metrics.timed(Stage.DECODING, meta.original_size):
+            # pad stream + gaps to static shapes
+            words = payload_to_words(payload)
+            cap = (9 * header.chunk_size_bytes + 31) // 32 + 4
+            if words.size > cap:
+                # foreign encoder with pathological codes: host decode
+                return self._cpu.decode_chunk(payload, meta, header, metrics)
+            wpad = np.zeros(cap, dtype=np.uint32)
+            wpad[: words.size] = words
+            gpad = np.zeros(nsub_static, dtype=np.uint32)
+            gpad[: meta.gap_bits.size] = meta.gap_bits
+            out = decode_device(
+                jax.device_put(wpad, dev),
+                jax.device_put(gpad, dev),
+                jax.device_put(table, dev),
+                s,
+                nsub_static,
+            )
+            return np.asarray(out)[: meta.original_size]
+
+
+class TpuCompressionService(CompressionService):
+    """Device-accelerated compression service with CPU fallback chain."""
+
+    def __init__(self, config: Optional[AppConfig] = None):
+        self.config = config or load_config()
+        self._stage_metrics = StageMetrics()
+        self._codec = TpuChunkCodec(self.config)
+        self._pipeline = ChunkedPipeline(
+            self.config, self._codec, workers=max(2, self.config.device.parallel_chunks)
+        )
+        self._cpu_fallback = CpuCompressionService(self.config)
+
+    def _run(self, op, *args, progress=None):
+        self._stage_metrics = StageMetrics()
+        t0 = time.perf_counter()
+        try:
+            op(*args, progress, self._stage_metrics)
+            backend = "TPU"
+        except Exception as e:  # noqa: BLE001 — whole-op fallback (chain level 3)
+            if not self.config.device.fallback_on_error:
+                raise
+            logger.warning("TPU pipeline failed (%s); falling back to CPU", e)
+            cpu_ops = {
+                self._pipeline.compress: self._cpu_fallback._pipeline.compress,
+                self._pipeline.decompress: self._cpu_fallback._pipeline.decompress,
+            }
+            cpu_ops[op](*args, progress, self._stage_metrics)
+            backend = "CPU"
+        return backend, time.perf_counter() - t0
+
+    def compress(self, input_path, output_path, progress: ProgressCallback = None) -> None:
+        backend, dt = self._run(self._pipeline.compress, input_path, output_path, progress=progress)
+        self._record(input_path, output_path, True, dt, backend)
+
+    def decompress(self, input_path, output_path, progress: ProgressCallback = None) -> None:
+        backend, dt = self._run(self._pipeline.decompress, input_path, output_path, progress=progress)
+        self._record(input_path, output_path, False, dt, backend)
+
+    def resume_compression(self, input_path, output_path, last_completed_chunk, progress=None) -> None:
+        self._stage_metrics = StageMetrics()
+        t0 = time.perf_counter()
+        self._pipeline.resume_compression(
+            input_path, output_path, last_completed_chunk, progress, self._stage_metrics
+        )
+        self._record(input_path, output_path, True, time.perf_counter() - t0, "TPU")
+
+    def verify_integrity(self, compressed_path, deep: bool = False) -> bool:
+        return self._pipeline.verify_integrity(compressed_path, deep=deep)
+
+    def get_service_name(self) -> str:
+        return "TPU Compression"
+
+    def is_available(self) -> bool:
+        return self._codec.freq.is_available()
+
+    def close(self) -> None:
+        self._pipeline.close()
+        self._cpu_fallback.close()
+
+    def _record(self, input_path, output_path, compressing, duration_s, backend) -> None:
+        import os
+
+        from ..models import CompressionMetrics, MetricsService, OperationType
+
+        try:
+            in_size = os.path.getsize(input_path)
+            out_size = os.path.getsize(output_path)
+        except OSError:
+            return
+        MetricsService.get_instance().add_metrics(
+            CompressionMetrics(
+                file_name=os.path.basename(input_path),
+                operation=OperationType.COMPRESSION if compressing else OperationType.DECOMPRESSION,
+                original_size=in_size,
+                processed_size=out_size,
+                duration_s=max(duration_s, 1e-9),
+                backend=backend,
+            )
+        )

@@ -1,0 +1,78 @@
+"""Benchmark suite tests (parity: ``BenchmarkSuiteTest.java`` — full suite on
+a small generated file, throughput > 0; plus the JSON/CSV formats the
+reference declared but never implemented)."""
+
+import json
+
+import pytest
+
+from datacomp_tpu.benchmark import BenchmarkSuite
+from datacomp_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def results():
+    cfg = load_config(
+        compression={"chunk_size_mb": 1},
+        benchmark={"warmup_iterations": 1, "measurement_iterations": 2},
+    )
+    suite = BenchmarkSuite(cfg)
+    return suite, suite.run_full_suite(size_mb=1)
+
+
+def test_full_suite_runs(results):
+    suite, res = results
+    assert len(res) >= 2  # at least CPU compress+decompress
+    for r in res:
+        assert r.throughput_mbps > 0
+        assert r.mean_s > 0
+    comp = [r for r in res if r.operation == "compress"]
+    assert all(0 < r.compression_ratio < 1.5 for r in comp)
+
+
+def test_console_format(results):
+    suite, res = results
+    text = suite.format_results(res, "console")
+    assert "Benchmark Results" in text and "MB/s" in text
+
+
+def test_json_format(results):
+    suite, res = results
+    data = json.loads(suite.format_results(res, "json"))
+    assert "results" in data and len(data["results"]) == len(res)
+
+
+def test_csv_format(results):
+    suite, res = results
+    lines = suite.format_results(res, "csv").splitlines()
+    assert lines[0].startswith("service,operation")
+    assert len(lines) == len(res) + 1
+
+
+def test_metrics_models():
+    from datacomp_tpu.models import (
+        CompressionMetrics,
+        MetricsService,
+        OperationType,
+        Stage,
+        StageMetrics,
+    )
+
+    sm = StageMetrics()
+    sm.record_stage(Stage.ENCODING, 1_000_000, 500)
+    sm.record_stage(Stage.ENCODING, 1_000_000, 500)
+    assert sm.count(Stage.ENCODING) == 2
+    assert sm.bytes_processed(Stage.ENCODING) == 1000
+    assert "Encoding" in sm.summary()
+
+    m = CompressionMetrics("f", OperationType.COMPRESSION, 1000, 400, 0.1, "CPU")
+    assert abs(m.compression_ratio - 0.4) < 1e-9
+    assert abs(m.space_saved_percent - 60.0) < 1e-9
+
+    ms = MetricsService()
+    seen = []
+    ms.add_listener(seen.append)
+    ms.add_metrics(m)
+    assert seen == [m]
+    assert ms.get_last() is m
+    assert ms.average_throughput_mbps(OperationType.COMPRESSION) > 0

@@ -1,0 +1,73 @@
+"""CLI surface tests (parity: ``cli/DataCompCLI.java`` UX — progress, final
+size/ratio/time/MB/s report — plus the new subcommands)."""
+
+import os
+
+import pytest
+
+from datacomp_tpu.cli import main
+from datacomp_tpu.utils.testdata import generate_bytes
+
+
+@pytest.fixture
+def sample(tmp_path):
+    p = tmp_path / "in.bin"
+    p.write_bytes(generate_bytes("text", 300_000))
+    return str(p)
+
+
+def test_compress_decompress_roundtrip(sample, tmp_path, capsys):
+    dcz = str(tmp_path / "out.dcz")
+    restored = str(tmp_path / "restored.bin")
+    assert main(["compress", sample, dcz, "1", "--backend", "cpu"]) == 0
+    out = capsys.readouterr().out
+    assert "Ratio:" in out and "Throughput:" in out
+    assert main(["decompress", dcz, restored, "1", "--backend", "cpu"]) == 0
+    assert open(restored, "rb").read() == open(sample, "rb").read()
+
+
+def test_short_aliases(sample, tmp_path):
+    dcz = str(tmp_path / "o.dcz")
+    restored = str(tmp_path / "r.bin")
+    assert main(["c", sample, dcz, "1", "--backend", "cpu"]) == 0
+    assert main(["d", dcz, restored, "1", "--backend", "cpu"]) == 0
+    assert open(restored, "rb").read() == open(sample, "rb").read()
+
+
+def test_verify_command(sample, tmp_path, capsys):
+    dcz = str(tmp_path / "v.dcz")
+    main(["compress", sample, dcz, "1", "--backend", "cpu"])
+    assert main(["verify", dcz, "--backend", "cpu", "--deep"]) == 0
+    assert "OK" in capsys.readouterr().out
+    raw = bytearray(open(dcz, "rb").read())
+    raw[50] ^= 0xFF
+    open(dcz, "wb").write(bytes(raw))
+    assert main(["verify", dcz, "--backend", "cpu", "--deep"]) == 1
+
+
+def test_missing_input_exit_code(tmp_path, capsys):
+    rc = main(["compress", str(tmp_path / "nope.bin"), str(tmp_path / "o.dcz"),
+               "--backend", "cpu"])
+    assert rc == 2
+    assert "error" in capsys.readouterr().err
+
+
+def test_gen_command(tmp_path, capsys):
+    out = str(tmp_path / "gen.bin")
+    assert main(["gen", "1", out, "--compressible"]) == 0
+    assert os.path.getsize(out) == 1024 * 1024
+
+
+def test_format_v2_flag(sample, tmp_path):
+    from datacomp_tpu.core import read_container
+
+    dcz = str(tmp_path / "o2.dcz")
+    assert main(["compress", sample, dcz, "1", "--backend", "cpu", "--format", "2"]) == 0
+    h, _ = read_container(dcz)
+    assert h.version == 2
+
+
+def test_stages_flag(sample, tmp_path, capsys):
+    dcz = str(tmp_path / "s.dcz")
+    assert main(["compress", sample, dcz, "1", "--backend", "cpu", "--stages"]) == 0
+    assert "Stage Performance Breakdown" in capsys.readouterr().out

@@ -1,0 +1,133 @@
+"""Device-op tests (run on the CPU backend via conftest): histogram, on-device
+codebook, encoder bit-exactness vs the host oracle, gap-array decoder."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from datacomp_tpu.core import build_codebook, encode_bitstream  # noqa: E402
+from datacomp_tpu.core.huffman import (  # noqa: E402
+    build_code_lengths,
+    canonical_codes_from_lengths,
+    validate_lengths,
+)
+from datacomp_tpu.ops import (  # noqa: E402
+    build_decode_table,
+    decode_device,
+    device_canonical_codes,
+    device_code_lengths,
+    encode_device,
+    histogram_device,
+    payload_to_words,
+    words_to_bytes,
+)
+from datacomp_tpu.utils.testdata import generate_bytes  # noqa: E402
+
+
+class TestHistogram:
+    @pytest.mark.parametrize("n,cap", [(1000, 1024), (65536, 65536), (0, 512), (1, 8)])
+    def test_matches_bincount(self, rng, n, cap):
+        data = rng.integers(0, 256, cap).astype(np.uint8)
+        h = np.asarray(histogram_device(jnp.asarray(data), jnp.int32(n)))
+        assert np.array_equal(h, np.bincount(data[:n], minlength=256))
+
+    def test_multi_tile_path(self, rng):
+        data = rng.integers(0, 256, 1 << 17).astype(np.uint8)
+        h = np.asarray(histogram_device(jnp.asarray(data), jnp.int32(data.size), tile=1 << 14))
+        assert np.array_equal(h, np.bincount(data, minlength=256))
+
+
+class TestDeviceCodebook:
+    def test_optimal_and_canonical(self, rng):
+        for _ in range(15):
+            nsym = int(rng.integers(1, 257))
+            f = np.zeros(256, np.int64)
+            syms = rng.choice(256, nsym, replace=False)
+            f[syms] = rng.integers(1, 100_000, nsym)
+            dl = np.asarray(device_code_lengths(jnp.asarray(f, dtype=jnp.int32)))
+            assert validate_lengths(dl)
+            if nsym >= 2:
+                hl = build_code_lengths(f, mode="java")
+                assert int(f @ dl) == int(f @ hl)  # same optimal total bits
+            else:
+                assert dl[syms[0]] == 1 and dl.sum() == 1
+            dc = np.asarray(device_canonical_codes(jnp.asarray(dl))).astype(np.uint32)
+            assert np.array_equal(dc, canonical_codes_from_lengths(dl))
+
+    def test_empty_histogram(self):
+        dl = np.asarray(device_code_lengths(jnp.zeros(256, jnp.int32)))
+        assert (dl == 0).all()
+
+
+class TestEncodeDevice:
+    @pytest.mark.parametrize("kind", ["text", "compressible", "random", "skewed"])
+    @pytest.mark.parametrize("n", [1, 97, 30_000])
+    def test_bit_exact_vs_host(self, kind, n):
+        data = np.frombuffer(generate_bytes(kind, n), np.uint8)
+        N = 32768
+        padded = np.zeros(N, np.uint8)
+        padded[:n] = data
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        words, total_bits = encode_device(
+            jnp.asarray(padded), jnp.int32(n), jnp.asarray(lens), jnp.asarray(codes), N
+        )
+        assert words_to_bytes(np.asarray(words), int(total_bits)) == encode_bitstream(
+            data, lens, codes
+        )
+
+    def test_empty(self):
+        words, tb = encode_device(
+            jnp.zeros(1024, jnp.uint8), jnp.int32(0),
+            jnp.zeros(256, jnp.int32), jnp.zeros(256, jnp.uint32), 1024,
+        )
+        assert int(tb) == 0
+
+    def test_gaps_match_prefix_sum(self):
+        data = np.frombuffer(generate_bytes("text", 8000), np.uint8)
+        N = 8192
+        padded = np.zeros(N, np.uint8)
+        padded[: data.size] = data
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        _, _, gaps = encode_device(
+            jnp.asarray(padded), jnp.int32(data.size),
+            jnp.asarray(lens), jnp.asarray(codes), N, 512,
+        )
+        l64 = lens.astype(np.int64)[data]
+        starts = np.cumsum(l64) - l64
+        expect = starts[::512]
+        assert np.array_equal(np.asarray(gaps)[: expect.size], expect)
+
+
+class TestDecodeDevice:
+    @pytest.mark.parametrize("kind", ["text", "skewed", "compressible"])
+    def test_roundtrip(self, kind):
+        S = 512
+        data = np.frombuffer(generate_bytes(kind, 20_000), np.uint8)
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        enc = encode_bitstream(data, lens, codes)
+        l64 = lens.astype(np.int64)[data]
+        starts = np.cumsum(l64) - l64
+        gaps = starts[::S].astype(np.uint32)
+        Mpad = 64
+        gpad = np.zeros(Mpad, np.uint32)
+        gpad[: gaps.size] = gaps
+        out = np.asarray(
+            decode_device(
+                jnp.asarray(payload_to_words(enc)), jnp.asarray(gpad),
+                jnp.asarray(build_decode_table(lens)), S, Mpad,
+            )
+        )
+        assert np.array_equal(out[: data.size], data)
+
+    def test_table_rejects_deep_codes(self):
+        f = np.zeros(256, np.int64)
+        a, b = 1, 1
+        for s in range(26):
+            f[s] = a
+            a, b = b, a + b
+        lens, _ = build_codebook(f)
+        assert lens.max() > 16
+        with pytest.raises(ValueError):
+            build_decode_table(lens)

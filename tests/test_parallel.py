@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: the full
+sharded compress step (histogram → device codebook → encode → all_gather
+offsets) and the driver dry-run entry."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from datacomp_tpu import native  # noqa: E402
+from datacomp_tpu.ops.encode import words_to_bytes  # noqa: E402
+from datacomp_tpu.parallel import make_mesh, sharded_compress_arrays  # noqa: E402
+from datacomp_tpu.utils.testdata import generate_bytes  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+def test_sharded_step_end_to_end(mesh8):
+    CH = 16384
+    B = 16
+    blob = generate_bytes("text", B * CH)
+    batch = np.frombuffer(blob, np.uint8).reshape(B, CH).copy()
+    valid = np.full(B, CH, np.int32)
+    valid[-1] = 777  # ragged tail
+
+    out = sharded_compress_arrays(mesh8, batch, valid, subblock=512)
+    hists, lengths, codes, words, total_bits, gaps, comp_bytes, offsets = map(np.asarray, out)
+
+    sizes = []
+    for i in range(B):
+        d = batch[i, : valid[i]]
+        assert np.array_equal(hists[i], np.bincount(d, minlength=256))
+        payload = words_to_bytes(words[i], int(total_bits[i]))
+        sizes.append(len(payload))
+        if native.is_available():
+            assert np.array_equal(native.decode(payload, int(valid[i]), lengths[i]), d)
+    assert np.array_equal(comp_bytes, sizes)
+    assert np.array_equal(offsets, np.cumsum([0] + sizes[:-1]))
+
+
+def test_uneven_batch_rejected(mesh8):
+    batch = np.zeros((3, 1024), np.uint8)  # 3 not divisible by 8
+    with pytest.raises(Exception):
+        sharded_compress_arrays(mesh8, batch, np.full(3, 1024, np.int32))
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    n = min(8, len(jax.devices()))
+    dryrun_multichip(n)
+
+
+def test_entry_compiles():
+    import sys
+
+    import jax as j
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = j.jit(fn).lower(*args).compile()(*args)
+    words, total_bits, lengths = out
+    assert int(total_bits) > 0

@@ -1,0 +1,169 @@
+"""TPU service tests on the CPU JAX backend: round trips in every
+format/codebook mode, byte-identity of v1 output vs the CPU service
+(mirroring the reference's GPU/CPU file compatibility), fallback chain, and
+the factory selection policy."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from datacomp_tpu.config import load_config  # noqa: E402
+from datacomp_tpu.core import read_container  # noqa: E402
+from datacomp_tpu.services.cpu_service import CpuCompressionService  # noqa: E402
+from datacomp_tpu.services.factory import (  # noqa: E402
+    create_compression_service,
+    create_frequency_service,
+)
+from datacomp_tpu.services.tpu_service import (  # noqa: E402
+    TpuCompressionService,
+    TpuFrequencyService,
+)
+from datacomp_tpu.utils.testdata import generate_bytes  # noqa: E402
+
+
+def cfg(**over):
+    base = {"chunk_size_mb": 1}
+    base.update(over)
+    return load_config(compression=base)
+
+
+class TestTpuFrequencyService:
+    def test_histogram_matches(self, rng):
+        svc = TpuFrequencyService(cfg())
+        data = rng.integers(0, 256, 100_000).astype(np.uint8)
+        assert np.array_equal(
+            svc.compute_histogram(data), np.bincount(data, minlength=256)
+        )
+
+    def test_offset_window(self, rng):
+        svc = TpuFrequencyService(cfg())
+        data = rng.integers(0, 256, 10_000).astype(np.uint8)
+        h = svc.compute_histogram(data, offset=100, length=5000)
+        assert np.array_equal(h, np.bincount(data[100:5100], minlength=256))
+
+    def test_available(self):
+        assert TpuFrequencyService(cfg()).is_available()
+
+
+@pytest.mark.parametrize(
+    "version,mode",
+    [(1, "java"), (1, "fast"), (2, "java"), (2, "device")],
+)
+def test_roundtrip_modes(tmp_path, version, mode):
+    c = cfg(format_version=version, codebook_mode=mode)
+    svc = TpuCompressionService(c)
+    data = generate_bytes("text", 1536 * 1024 + 13)
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+    dcz = str(src) + ".dcz"
+    out = str(src) + ".out"
+    svc.compress(str(src), dcz)
+    h, _ = read_container(dcz)
+    assert h.version == version
+    if version >= 2:
+        assert h.subblock_symbols > 0
+        assert h.chunks[0].gap_bits is not None and h.chunks[0].gap_bits.size > 0
+    svc.decompress(dcz, out)
+    assert open(out, "rb").read() == data
+    svc.close()
+
+
+def test_v1_files_byte_identical_to_cpu(tmp_path):
+    """The reference's CPU and GPU services produce interchangeable files;
+    here v1 output is bit-for-bit identical across backends."""
+    c = cfg(format_version=1, codebook_mode="java")
+    data = generate_bytes("text", 512 * 1024)
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+    t, u = str(src) + ".tpu.dcz", str(src) + ".cpu.dcz"
+    with TpuCompressionService(c) as tsvc:
+        tsvc.compress(str(src), t)
+    with CpuCompressionService(c) as csvc:
+        csvc.compress(str(src), u)
+    assert open(t, "rb").read() == open(u, "rb").read()
+
+
+def test_cross_backend_decode(tmp_path):
+    """CPU-written v2 file decodes on the TPU service and vice versa."""
+    c = cfg(format_version=2)
+    data = generate_bytes("skewed", 700_000)
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+    a = str(src) + ".a.dcz"
+    with CpuCompressionService(c) as csvc:
+        csvc.compress(str(src), a)
+    with TpuCompressionService(c) as tsvc:
+        tsvc.decompress(a, str(src) + ".out")
+    assert open(str(src) + ".out", "rb").read() == data
+
+
+def test_fallback_on_encode_error(tmp_path, monkeypatch):
+    """Chain level 3: a device-pipeline failure falls back to CPU and still
+    produces a valid archive."""
+    c = cfg()
+    svc = TpuCompressionService(c)
+    monkeypatch.setattr(
+        svc._codec, "encode_chunk",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected device failure")),
+    )
+    data = generate_bytes("text", 100_000)
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+    dcz = str(src) + ".dcz"
+    svc.compress(str(src), dcz)  # must not raise
+    with CpuCompressionService(c) as csvc:
+        csvc.decompress(dcz, str(src) + ".out")
+    assert open(str(src) + ".out", "rb").read() == data
+    svc.close()
+
+
+def test_fallback_disabled_raises(tmp_path, monkeypatch):
+    c = load_config(
+        compression={"chunk_size_mb": 1}, device={"fallback_on_error": False}
+    )
+    svc = TpuCompressionService(c)
+    monkeypatch.setattr(
+        svc._codec, "encode_chunk",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    src = tmp_path / "x.bin"
+    src.write_bytes(b"data" * 100)
+    with pytest.raises(Exception):
+        svc.compress(str(src), str(src) + ".dcz")
+    svc.close()
+
+
+def test_deep_codebook_decodes_via_host(tmp_path):
+    """Fibonacci frequencies force >16-bit codes; the TPU service must route
+    that chunk's decode to the host codec transparently."""
+    c = cfg(format_version=2)
+    a, b = 1, 1
+    blob = bytearray()
+    for s in range(26):
+        blob.extend(bytes([s]) * a)
+        a, b = b, a + b
+    src = tmp_path / "deep.bin"
+    src.write_bytes(bytes(blob))
+    with TpuCompressionService(c) as svc:
+        svc.compress(str(src), str(src) + ".dcz")
+        svc.decompress(str(src) + ".dcz", str(src) + ".out")
+    assert open(str(src) + ".out", "rb").read() == bytes(blob)
+
+
+class TestFactory:
+    def test_force_cpu(self):
+        svc = create_compression_service(cfg(), force_cpu=True)
+        assert svc.get_service_name() == "CPU Compression"
+        svc.close()
+
+    def test_auto_selects_available(self):
+        svc = create_compression_service(cfg())
+        assert svc.is_available()
+        svc.close()
+
+    def test_frequency_factory(self):
+        svc = create_frequency_service(cfg(), force_cpu=True)
+        assert svc.get_service_name().startswith("CPU")

@@ -1,7 +1,28 @@
 """TPU device ops (JAX/XLA/Pallas): histogram, encode, decode, codebook."""
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first-ever compiles of the chunk
+    pipeline are expensive (minutes at 16 MB shapes through the TPU
+    toolchain); caching makes every later process start instantly."""
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = _os.environ.get(
+            "DATACOMP_JAX_CACHE", _os.path.expanduser("~/.cache/datacomp_tpu_xla")
+        )
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+_enable_compilation_cache()
+
 from .histogram import histogram_device, histogram_np
 from .encode import encode_device, words_to_bytes
+from .encode_merge import encode_device_merge
 from .decode import (
     TABLE_BITS,
     build_decode_table,
@@ -15,6 +36,7 @@ __all__ = [
     "histogram_device",
     "histogram_np",
     "encode_device",
+    "encode_device_merge",
     "words_to_bytes",
     "TABLE_BITS",
     "build_decode_table",

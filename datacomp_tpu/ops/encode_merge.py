@@ -1,0 +1,207 @@
+"""Production device encoder: gather-free bitstream tree-merge.
+
+TPU-native answer to the reference's GPU encode strategies (prefix-sum +
+scatter writer, ``TornadoKernels.writeCodewordsOptimizedKernel:361-398``, and
+per-word binary-search gather, ``encodePacketKernel:115-205``) and to the
+reduction-merge algebra of the paper bundled with the reference
+(arXiv:2010.10039).  Designed for what this hardware actually rewards —
+measured on-chip: XLA per-element gathers cost ~8.5 ns (a 16M-element table
+lookup = 330 ms) while MXU matmuls and sorted scatter-sets are orders of
+magnitude cheaper.  Hence:
+
+* **table lookups as matmuls** — per-symbol (length, codeword) come from
+  16×16 one-hot einsums over bit-split planes (1.1 ms / 16M symbols vs
+  330 ms for the direct gather);
+* **tree merge** — 5 pairwise levels pack each group of 32 symbols into a
+  32-word bit block, arrays laid out (units, words, groups) so the huge
+  groups axis rides the 128-lane dimension;
+* **group offsets** — exclusive cumsum via in-row triangular matmul (exact
+  in f32: row partials < 2²⁴) + tiny carry cumsum — the MXU does the prefix
+  sum the reference ran serially on CPU (``GpuCompressionService.java:773-779``);
+* **placement** — every full group holds ≥ 32 bits, so output words are
+  *owned* by exactly one group; each group emits its ≤ 33 owned words
+  (elementwise shifts from its own block + the next group's head word) and
+  one sorted unique scatter-set per word slot places them.  No atomics, no
+  read-modify-write, no binary search.
+
+Bit/byte order matches the reference stream exactly (MSB-first, big-endian
+words); validated bit-for-bit against the host encoder in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GROUP = 32  # symbols per merged group == min bits per full (all-valid) group
+
+
+def _mm_lookup(x: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free 256-entry table lookup via one-hot matmuls.
+
+    ``x``: int32[N] byte values; ``tables``: f32[C, 256] with entries in
+    [0, 256) (bf16/f32-exact).  Returns f32[N, C].
+    """
+    hi = x >> 4
+    lo = x & 15
+    r = jnp.arange(16, dtype=jnp.int32)
+    ohh = (hi[:, None] == r).astype(jnp.bfloat16)  # (N,16)
+    ohl = (lo[:, None] == r).astype(jnp.bfloat16)  # (N,16)
+    t = tables.reshape(-1, 16, 16).astype(jnp.bfloat16)  # (C,16hi,16lo)
+    # one fused 3-operand einsum per plane keeps intermediates register-sized
+    outs = [
+        jnp.einsum("nh,hl,nl->n", ohh, t[c], ohl,
+                   preferred_element_type=jnp.float32)
+        for c in range(t.shape[0])
+    ]
+    return jnp.stack(outs, axis=1)
+
+
+def lookup_symbol_tables(x: jnp.ndarray, lengths: jnp.ndarray, codes: jnp.ndarray):
+    """Per-symbol (len int32[N], codeword uint32[N]) without gathers: the
+    uint32 codeword is split into four 8-bit planes, each f32-exact."""
+    codes = codes.astype(jnp.uint32)
+    planes = jnp.stack(
+        [
+            lengths.astype(jnp.float32),
+            (codes & 0xFF).astype(jnp.float32),
+            ((codes >> 8) & 0xFF).astype(jnp.float32),
+            ((codes >> 16) & 0xFF).astype(jnp.float32),
+            ((codes >> 24) & 0xFF).astype(jnp.float32),
+        ]
+    )  # (5, 256)
+    out = _mm_lookup(x, planes)  # (N, 5)
+    lens = out[:, 0].astype(jnp.int32)
+    cw = (
+        out[:, 1].astype(jnp.uint32)
+        | (out[:, 2].astype(jnp.uint32) << 8)
+        | (out[:, 3].astype(jnp.uint32) << 16)
+        | (out[:, 4].astype(jnp.uint32) << 24)
+    )
+    return lens, cw
+
+
+def _merge_level(buf: jnp.ndarray, ulen: jnp.ndarray):
+    """Merge adjacent unit pairs.  ``buf``: (U, Q, NG) uint32 — unit u of
+    group g occupies ``buf[u, :, g]``, bits left-aligned, zero-padded.
+    ``ulen``: (U, NG) int32 bit lengths.  Returns ((U/2, 2Q, NG), (U/2, NG))."""
+    U, Q, NG = buf.shape
+    A = buf[0::2]
+    B = buf[1::2]
+    la = ulen[0::2]
+    lb = ulen[1::2]
+
+    s = (la & 31).astype(jnp.uint32)[:, None, :]
+    wo = (la >> 5)[:, None, :]  # word offset of B, 0..Q
+    z = jnp.zeros((U // 2, 1, NG), jnp.uint32)
+    Bprev = jnp.concatenate([z, B], axis=1)       # (U/2, Q+1, NG)
+    Bext = jnp.concatenate([B, z], axis=1)
+    s_safe = jnp.maximum(s, jnp.uint32(1))
+    SB = jnp.where(s > 0, (Bext >> s) | (Bprev << (jnp.uint32(32) - s_safe)), Bext)
+
+    out = jnp.concatenate([A, jnp.zeros_like(A)], axis=1)  # (U/2, 2Q, NG)
+    for w in range(Q + 1):  # static loop over possible word offsets
+        width = min(Q + 1, 2 * Q - w)
+        if width <= 0:
+            continue
+        seg = jnp.where(wo == w, SB[:, :width, :], jnp.uint32(0))
+        out = out.at[:, w : w + width, :].set(out[:, w : w + width, :] | seg)
+    return out, la + lb
+
+
+def _exclusive_cumsum_2level(x: jnp.ndarray, row: int = 128):
+    """Exclusive cumsum of int32 (n,) via in-row triangular matmul (exact:
+    row partials < 2^24) + small carry cumsum.  Compile cost is flat in n."""
+    n = x.shape[0]
+    pad = (-n) % row
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+    r = x.reshape((n + pad) // row, row)
+    tri = jnp.asarray(np.triu(np.ones((row, row), np.float32), 1))  # k < j
+    intra = jax.lax.dot_general(
+        r.astype(jnp.float32), tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    row_tot = r.sum(axis=1, dtype=jnp.int32)
+    carry = jnp.cumsum(row_tot) - row_tot
+    return (intra + carry[:, None]).reshape(n + pad)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("out_words", "subblock", "max_slots"))
+def encode_device_merge(
+    data: jnp.ndarray,       # uint8[N], N % 32 == 0 (padded chunk)
+    valid_len: jnp.ndarray,  # int32 scalar
+    lengths: jnp.ndarray,    # int32[256]
+    codes: jnp.ndarray,      # uint32[256]
+    out_words: int,
+    subblock: int = 0,       # if >0 (multiple of 32): also return gap bits
+    max_slots: int = GROUP + 1,  # owned words per group ≤ max_code_len + 2
+):
+    """Returns (words uint32[out_words], total_bits int32[, gaps]).
+
+    ``max_slots`` bounds the owned-word scatter loop: a group of 32 symbols
+    spans at most ``32·maxlen`` bits ⇒ ≤ ``maxlen + 1`` owned words (+1 for
+    alignment).  Callers that build the codebook host-side pass
+    ``min(33, maxlen + 2)`` to skip provably-empty scatter slots.
+    """
+    n = data.shape[0]
+    assert n % GROUP == 0, "padded chunk size must be a multiple of 32"
+    ng = n // GROUP
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < valid_len
+    x = jnp.where(valid, data.astype(jnp.int32), 0)
+    lens, cws = lookup_symbol_tables(x, lengths, codes)
+    lens = jnp.where(valid, lens, 0)
+    cws = jnp.where(valid, cws, jnp.uint32(0))
+
+    # leaf pack, laid out (symbol-in-group, group): lane dim = groups
+    shift = (jnp.uint32(32) - jnp.minimum(lens, 32).astype(jnp.uint32)) & jnp.uint32(31)
+    leaf = jnp.where(lens > 0, cws << shift, jnp.uint32(0))
+    buf = leaf.reshape(ng, GROUP).T.reshape(GROUP, 1, ng)
+    ulen = lens.reshape(ng, GROUP).T
+
+    for _ in range(5):  # 1 → 32 symbols per unit
+        buf, ulen = _merge_level(buf, ulen)
+    gwords = buf[0]          # (32, ng): group bit blocks, row-major words
+    glen = ulen[0]           # (ng,)
+
+    gs = _exclusive_cumsum_2level(glen)          # group start bits
+    total_bits = gs[-1] + glen[-1]
+
+    # ownership: group g owns output words [v_g, v_{g+1})
+    v = (gs + 31) >> 5                           # ceil(gs/32)
+    v_next = (gs + glen + 31) >> 5
+    d = ((v << 5) - gs).astype(jnp.uint32)       # 0..31: group bits preceding
+    d_safe = jnp.maximum(d, jnp.uint32(1))       # word v start within group
+    count = v_next - v                           # owned words, 0..33
+
+    gpad = jnp.concatenate([gwords, jnp.zeros((1, ng), jnp.uint32)], axis=0)  # (33, ng)
+    h_next = jnp.concatenate([gwords[0, 1:], jnp.zeros(1, jnp.uint32)])       # next group's head
+
+    out = jnp.zeros(out_words, jnp.uint32)
+    for j in range(min(GROUP + 1, max_slots)):  # static loop over owned-word slots
+        val = jnp.where(
+            d > 0,
+            (gpad[j] << d) | (gpad[min(j + 1, GROUP)] >> (jnp.uint32(32) - d_safe)),
+            gpad[j],
+        )
+        # boundary word: splice in the next group's first bits
+        rel = glen.astype(jnp.int32) - (jnp.int32(32) * j) - d.astype(jnp.int32)
+        rel_u = jnp.clip(rel, 1, 31).astype(jnp.uint32)
+        val = val | jnp.where((rel > 0) & (rel < 32), h_next >> rel_u, jnp.uint32(0))
+        # scatter-ADD with zero-masked values: targets stay sorted/in-range
+        # (an OOB sentinel would break the sorted contract and drop writes),
+        # and word ownership is disjoint so add ≡ set for the real writes
+        val = jnp.where(j < count, val, jnp.uint32(0))
+        tgt = jnp.clip(v + j, 0, out_words - 1)
+        out = out.at[tgt].add(val, mode="drop", indices_are_sorted=True)
+
+    if subblock:
+        assert subblock % GROUP == 0, "subblock must be a multiple of 32 symbols"
+        gaps = gs[:: subblock // GROUP].astype(jnp.uint32)
+        return out, total_bits, gaps
+    return out, total_bits

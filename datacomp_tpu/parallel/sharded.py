@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.codebook import device_codebook
-from ..ops.encode import encode_device
+from ..ops.encode_merge import encode_device_merge
 from ..ops.histogram import histogram_device
 from .mesh import BLOCKS_AXIS
 
@@ -36,7 +36,7 @@ def _chunk_pipeline(data, valid_len, out_words: int, subblock: int):
     """Single-chunk device pipeline: histogram → codebook → encode."""
     hist = histogram_device(data, valid_len)
     lengths, codes = device_codebook(hist)
-    words, total_bits, gaps = encode_device(
+    words, total_bits, gaps = encode_device_merge(
         data, valid_len, lengths, codes, out_words, subblock
     )
     return hist, lengths, codes, words, total_bits, gaps

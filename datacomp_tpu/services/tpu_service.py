@@ -34,7 +34,7 @@ from ..ops import (
     build_decode_table,
     decode_device,
     device_codebook,
-    encode_device,
+    encode_device_merge,
     histogram_device,
     max_code_len,
     payload_to_words,
@@ -167,17 +167,25 @@ class TpuChunkCodec(ChunkCodec):
                 codes_dev = jax.device_put(codes, dev)
 
         v2 = self.config.compression.format_version >= 2
+        # bucketed static scatter-slot bound (maxlen+2), avoiding a recompile
+        # per distinct per-chunk max code length
+        if mode == "device":
+            slots = 33
+        else:
+            ml = int(lengths.max()) if lengths.any() else 1
+            slots = next(b for b in (10, 18, 33) if b >= ml + 2)
         with metrics.timed(Stage.ENCODING, n):
             if v2:
-                words, total_bits, gaps = encode_device(
+                words, total_bits, gaps = encode_device_merge(
                     x, jnp.int32(n), lengths_dev, codes_dev,
-                    self.out_words, self.subblock,
+                    self.out_words, self.subblock, max_slots=slots,
                 )
                 nsub = (n + self.subblock - 1) // self.subblock
                 gap_bits = np.asarray(gaps)[:nsub].astype(np.uint32)
             else:
-                words, total_bits = encode_device(
-                    x, jnp.int32(n), lengths_dev, codes_dev, self.out_words
+                words, total_bits = encode_device_merge(
+                    x, jnp.int32(n), lengths_dev, codes_dev, self.out_words,
+                    max_slots=slots,
                 )
                 gap_bits = None
             if int(total_bits) > self.out_words * 32:

@@ -131,3 +131,64 @@ class TestDecodeDevice:
         assert lens.max() > 16
         with pytest.raises(ValueError):
             build_decode_table(lens)
+
+
+class TestEncodeMerge:
+    """Gather-free tree-merge encoder (the production device encode path)."""
+
+    @pytest.mark.parametrize("kind", ["text", "compressible", "random", "skewed"])
+    @pytest.mark.parametrize("n", [1, 31, 32, 97, 30_000])
+    def test_bit_exact_vs_host(self, kind, n):
+        from datacomp_tpu.ops import encode_device_merge
+
+        data = np.frombuffer(generate_bytes(kind, n), np.uint8)
+        N = 32768
+        padded = np.zeros(N, np.uint8)
+        padded[:n] = data
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        words, tb, gaps = encode_device_merge(
+            jnp.asarray(padded), jnp.int32(n), jnp.asarray(lens),
+            jnp.asarray(codes), N, 512,
+        )
+        assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(data, lens, codes)
+        l64 = lens.astype(np.int64)[data]
+        starts = np.cumsum(l64) - l64
+        exp = starts[::512]
+        assert np.array_equal(np.asarray(gaps)[: exp.size], exp)
+
+    @pytest.mark.parametrize("slots", [18, 33])
+    def test_max_slots_buckets(self, slots):
+        from datacomp_tpu.ops import encode_device_merge
+
+        data = np.frombuffer(generate_bytes("text", 8000), np.uint8)
+        N = 8192
+        padded = np.zeros(N, np.uint8)
+        padded[: data.size] = data
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        assert int(lens.max()) + 2 <= slots
+        words, tb = encode_device_merge(
+            jnp.asarray(padded), jnp.int32(data.size), jnp.asarray(lens),
+            jnp.asarray(codes), N, max_slots=slots,
+        )
+        assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(data, lens, codes)
+
+    def test_matmul_lookup_matches_gather(self, rng):
+        from datacomp_tpu.ops.encode_merge import lookup_symbol_tables
+
+        data = rng.integers(0, 256, 50_000).astype(np.uint8)
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        l_dev, c_dev = jax.jit(lookup_symbol_tables)(
+            jnp.asarray(data, jnp.int32), jnp.asarray(lens), jnp.asarray(codes)
+        )
+        assert np.array_equal(np.asarray(l_dev), lens[data])
+        assert np.array_equal(np.asarray(c_dev), codes[data])
+
+    def test_empty(self):
+        from datacomp_tpu.ops import encode_device_merge
+
+        words, tb = encode_device_merge(
+            jnp.zeros(1024, jnp.uint8), jnp.int32(0),
+            jnp.zeros(256, jnp.int32), jnp.zeros(256, jnp.uint32), 1024,
+        )
+        assert int(tb) == 0
+        assert not np.asarray(words).any()

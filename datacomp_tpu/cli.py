@@ -72,6 +72,12 @@ def cmd_compress(args) -> int:
         t0 = time.perf_counter()
         svc.compress(args.input, args.output, _progress_printer("Compressing"))
         _report("Compression", args.input, args.output, time.perf_counter() - t0)
+        cfg = load_config()
+        if cfg.output.verify_after_compress and not args.no_verify:
+            ok = svc.verify_integrity(args.output)
+            print(f"  Verify:     {'OK' if ok else 'FAILED'}")
+            if not ok:
+                return 1
         if args.stages:
             print(svc.get_last_stage_metrics().summary())
         return 0
@@ -137,6 +143,24 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_dashboard(args) -> int:
+    from .ui import export_html, render_dashboard
+
+    print(render_dashboard())
+    if args.html:
+        export_html(args.html)
+        print(f"HTML report written to {args.html}")
+    return 0
+
+
+def cmd_devices(args) -> int:
+    from .services.tpu_service import get_available_devices
+
+    for line in get_available_devices():
+        print(line)
+    return 0
+
+
 def cmd_stats(args) -> int:
     ms = MetricsService.get_instance()
     recent = ms.get_recent()
@@ -171,6 +195,8 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--format", type=int, choices=[1, 2], default=1,
                     help="container version: 1=reference-compatible, 2=+gap arrays (TPU decode)")
+    sp.add_argument("--no-verify", action="store_true",
+                    help="skip the post-compress integrity verification")
     sp.set_defaults(func=cmd_compress)
 
     sp = sub.add_parser("decompress", aliases=["d"], help="decompress a .dcz file")
@@ -202,11 +228,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("stats", help="show session metrics")
     sp.set_defaults(func=cmd_stats)
+
+    sp = sub.add_parser("dashboard", help="system/device info + metrics dashboard")
+    sp.add_argument("--html", default=None, help="also write an HTML report here")
+    sp.set_defaults(func=cmd_dashboard)
+
+    sp = sub.add_parser("devices", help="enumerate compute devices")
+    sp.set_defaults(func=cmd_devices)
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from .utils.logging_setup import setup_logging
+
+    setup_logging()
     try:
         return args.func(args)
     except FileNotFoundError as e:

@@ -26,6 +26,8 @@ class CompressionConfig:
     chunk_size_mb: int = 16
     io_buffer_size_kb: int = 256
     cpu_threads: int = 0  # 0 = auto (clamp(cores, 2, 8), reference parity)
+    use_memory_mapped_io: bool = True
+    chunking_threshold_mb: int = 100  # parity knob; chunking is always on
     subblock_symbols: int = 4096  # v2 gap-array granularity (symbols per sub-block)
     format_version: int = 1  # 1 = reference-bit-compatible, 2 = +gap arrays
     codebook_mode: str = "java"  # "java" = bit-exact reference tie-breaks, "fast"

@@ -181,6 +181,15 @@ class ChunkedPipeline:
 
         read_lock = threading.Lock()
         infile = open(input_path, "rb")
+        # memory-mapped reads (reference parity: compression.use-memory-mapped-io)
+        mm = None
+        if self.config.compression.use_memory_mapped_io and file_size > 0:
+            try:
+                import mmap as _mmap
+
+                mm = _mmap.mmap(infile.fileno(), 0, access=_mmap.ACCESS_READ)
+            except (OSError, ValueError):
+                mm = None
         partial_fp = None
         try:
             out_mode = "r+b" if resume_from > 0 and os.path.exists(output_path) else "wb"
@@ -202,9 +211,12 @@ class ChunkedPipeline:
                     offset = index * chunk_size
                     n = min(chunk_size, file_size - offset)
                     with metrics.timed(Stage.FILE_IO, n):
-                        with read_lock:
-                            infile.seek(offset)
-                            raw = infile.read(n)
+                        if mm is not None:
+                            raw = mm[offset : offset + n]  # lock-free, page-cache backed
+                        else:
+                            with read_lock:
+                                infile.seek(offset)
+                                raw = infile.read(n)
                     data = np.frombuffer(raw, dtype=np.uint8)
                     enc = self.codec.encode_chunk(data, metrics)
                     return index, offset, n, enc
@@ -243,6 +255,8 @@ class ChunkedPipeline:
             partial_fp = None
             os.remove(_partial_path(output_path))
         finally:
+            if mm is not None:
+                mm.close()
             infile.close()
             if partial_fp is not None:
                 partial_fp.close()

@@ -71,6 +71,19 @@ def pick_device(platform: str = "any", index: int = -1):
     return devices[0]
 
 
+def get_available_devices() -> list:
+    """Enumerate devices (parity: ``GpuFrequencyService.getAvailableDevices:288-310``)."""
+    try:
+        jax = _get_jax()
+        return [
+            f"[{i}] {d.device_kind}  platform={d.platform}  id={d.id}  "
+            f"process={d.process_index}"
+            for i, d in enumerate(jax.devices())
+        ]
+    except Exception as e:  # noqa: BLE001
+        return [f"no devices available: {e}"]
+
+
 class TpuFrequencyService(FrequencyService):
     """Device histogram service (parity surface: ``GpuFrequencyService``)."""
 
@@ -188,9 +201,14 @@ class TpuChunkCodec(ChunkCodec):
                     max_slots=slots,
                 )
                 gap_bits = None
-            if int(total_bits) > self.out_words * 32:
+            tb = int(total_bits)
+            if tb > self.out_words * 32:
                 raise RuntimeError("encoded stream exceeded device word capacity")
-            payload = words_to_bytes(np.asarray(words), int(total_bits))
+            # D2H only the live prefix: device-slice to ceil(bits/32) words
+            # (host-device links are the scarce resource; the padded tail is
+            # up to 9x the payload)
+            nw = (tb + 31) // 32
+            payload = words_to_bytes(np.asarray(words[:nw]), tb)
         return EncodedChunk(payload, lengths.astype(np.int32), sha, gap_bits)
 
     # -- decode -------------------------------------------------------------

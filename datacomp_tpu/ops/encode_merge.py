@@ -51,6 +51,9 @@ def _mm_lookup(x: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
     ohh = (hi[:, None] == r).astype(jnp.bfloat16)  # (N,16)
     ohl = (lo[:, None] == r).astype(jnp.bfloat16)  # (N,16)
     t = tables.reshape(-1, 16, 16).astype(jnp.bfloat16)  # (C,16hi,16lo)
+    # default (bf16) matmul precision is safe here, unlike the cumsum below:
+    # one-hots are 0/1 and plane values are < 256, both bf16-exact, and each
+    # output element selects exactly one product (no lossy accumulation).
     # one fused 3-operand einsum per plane keeps intermediates register-sized
     outs = [
         jnp.einsum("nh,hl,nl->n", ohh, t[c], ohl,
@@ -121,10 +124,14 @@ def _exclusive_cumsum_2level(x: jnp.ndarray, row: int = 128):
         x = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
     r = x.reshape((n + pad) // row, row)
     tri = jnp.asarray(np.triu(np.ones((row, row), np.float32), 1))  # k < j
+    # precision=HIGHEST is load-bearing: the default TPU matmul precision
+    # casts f32 operands to bf16 (8-bit mantissa), silently rounding row
+    # values > 256 — group bit-lengths reach 1024
     intra = jax.lax.dot_general(
         r.astype(jnp.float32), tri,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     row_tot = r.sum(axis=1, dtype=jnp.int32)
     carry = jnp.cumsum(row_tot) - row_tot

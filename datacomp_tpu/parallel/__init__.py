@@ -2,5 +2,25 @@
 
 from .mesh import make_mesh
 from .sharded import make_sharded_compress_step, sharded_compress_arrays
+from .multihost import (
+    ChunkAssignment,
+    assemble_header,
+    global_offsets,
+    initialize_distributed,
+    interleave_gathered,
+    write_footer_host0,
+    write_host_payloads,
+)
 
-__all__ = ["make_mesh", "make_sharded_compress_step", "sharded_compress_arrays"]
+__all__ = [
+    "make_mesh",
+    "make_sharded_compress_step",
+    "sharded_compress_arrays",
+    "ChunkAssignment",
+    "assemble_header",
+    "global_offsets",
+    "initialize_distributed",
+    "interleave_gathered",
+    "write_footer_host0",
+    "write_host_payloads",
+]

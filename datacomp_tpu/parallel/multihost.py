@@ -1,0 +1,137 @@
+"""Multi-host orchestration: compress a file across a TPU pod slice.
+
+Scaling design (the axis the reference never had — it is a single-JVM,
+single-GPU system): chunks are data-parallel across *all* chips of *all*
+hosts.  Each host:
+
+1. reads its own chunk stripe (round-robin by global chunk index — every host
+   can see the input via shared filesystem, or its local shard);
+2. runs the sharded device pipeline over its local chips
+   (:func:`datacomp_tpu.parallel.sharded.make_sharded_compress_step`);
+3. participates in the global ``all_gather`` of per-chunk compressed sizes —
+   the offset assignment is an exclusive scan over all chunks of all hosts,
+   computed identically everywhere (ICI/DCN collective, no coordinator);
+4. ``pwrite``s its chunks' payloads at their global offsets into the shared
+   output file; host 0 alone appends the footer + pointer.
+
+Initialization uses ``jax.distributed`` (controller-less, env-driven).  On a
+single host this degrades to the plain sharded step.  The offset/assignment
+arithmetic is pure and unit-tested without real multi-host hardware.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..core import container as ct
+from ..utils.checksum import sha256_digest
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed from args or the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).  No-op if
+    already initialized or if running single-process."""
+    import jax
+
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+@dataclass(frozen=True)
+class ChunkAssignment:
+    """Which global chunk indices a host owns (round-robin striping keeps
+    per-host loads balanced even when trailing chunks are small)."""
+
+    host_id: int
+    num_hosts: int
+    num_chunks: int
+
+    def local_chunks(self) -> List[int]:
+        return list(range(self.host_id, self.num_chunks, self.num_hosts))
+
+    @staticmethod
+    def owner_of(chunk_index: int, num_hosts: int) -> int:
+        return chunk_index % num_hosts
+
+
+def global_offsets(sizes_by_chunk: Sequence[int]) -> np.ndarray:
+    """Exclusive scan of compressed sizes in global chunk order — identical
+    on every host given the all-gathered size vector."""
+    sizes = np.asarray(sizes_by_chunk, dtype=np.int64)
+    return np.cumsum(sizes) - sizes
+
+
+def interleave_gathered(per_host_sizes: Sequence[Sequence[int]], num_chunks: int) -> np.ndarray:
+    """Reassemble the global size vector from per-host stripes: host h's k-th
+    local chunk is global chunk ``h + k*num_hosts``."""
+    num_hosts = len(per_host_sizes)
+    out = np.zeros(num_chunks, dtype=np.int64)
+    for h, sizes in enumerate(per_host_sizes):
+        idx = np.arange(h, num_chunks, num_hosts)
+        out[idx] = np.asarray(sizes[: len(idx)], dtype=np.int64)
+    return out
+
+
+def write_host_payloads(
+    output_path: str, payloads: Sequence[bytes], chunk_indices: Sequence[int],
+    offsets: np.ndarray,
+) -> None:
+    """Positional writes of this host's chunk payloads at global offsets
+    (every host writes disjoint ranges of the shared file)."""
+    fd = os.open(output_path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        for payload, ci in zip(payloads, chunk_indices):
+            os.pwrite(fd, payload, int(offsets[ci]))
+    finally:
+        os.close(fd)
+
+
+def write_footer_host0(
+    output_path: str, header: ct.ContainerHeader, total_payload: int
+) -> None:
+    """Host 0 appends footer + pointer after all hosts' payload writes (a
+    barrier between payload writes and this call is the caller's job)."""
+    with open(output_path, "r+b") as f:
+        f.seek(total_payload)
+        f.write(ct.serialize_footer(header))
+        f.write(struct.pack(">q", total_payload))
+        f.truncate()
+
+
+def assemble_header(
+    input_name: str, file_size: int, mtime_ms: int, chunk_size: int,
+    metas_by_index: Sequence[ct.ChunkMeta], version: int = ct.VERSION_V1,
+    subblock: int = 0,
+) -> ct.ContainerHeader:
+    """Build the final header from per-chunk metadata in global order and
+    derive the global checksum (sha256 over chunk digests in order)."""
+    g = sha256_digest()
+    for m in metas_by_index:
+        g.update(m.sha256)
+    h = ct.ContainerHeader(
+        original_file_name=input_name,
+        original_file_size=file_size,
+        original_timestamp=mtime_ms,
+        global_sha256=g.digest(),
+        chunk_size_bytes=chunk_size,
+        version=version,
+        subblock_symbols=subblock,
+    )
+    h.chunks = list(metas_by_index)
+    return h

@@ -1,0 +1,113 @@
+"""Multi-host orchestration logic tests: simulate N hosts in one process —
+striped assignment, gathered-size interleave, global offsets, disjoint pwrite
+ranges, host-0 footer — and verify the assembled file decodes with the
+standard single-host reader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from datacomp_tpu.config import load_config
+from datacomp_tpu.core import ChunkMeta, read_container
+from datacomp_tpu.parallel.multihost import (
+    ChunkAssignment,
+    assemble_header,
+    global_offsets,
+    interleave_gathered,
+    write_footer_host0,
+    write_host_payloads,
+)
+from datacomp_tpu.services.cpu_service import CpuChunkCodec, CpuCompressionService
+from datacomp_tpu.models import StageMetrics
+from datacomp_tpu.utils.checksum import compute_sha256
+from datacomp_tpu.utils.testdata import generate_bytes
+
+
+def test_striped_assignment_covers_all():
+    n_chunks, n_hosts = 11, 3
+    seen = []
+    for h in range(n_hosts):
+        seen += ChunkAssignment(h, n_hosts, n_chunks).local_chunks()
+    assert sorted(seen) == list(range(n_chunks))
+    for ci in range(n_chunks):
+        assert ChunkAssignment.owner_of(ci, n_hosts) == ci % n_hosts
+
+
+def test_interleave_and_offsets():
+    per_host = [[10, 40], [20, 50], [30]]  # host h owns chunks h, h+3, ...
+    sizes = interleave_gathered(per_host, 5)
+    assert list(sizes) == [10, 20, 30, 40, 50]
+    offs = global_offsets(sizes)
+    assert list(offs) == [0, 10, 30, 60, 100]
+
+
+def test_simulated_multihost_compress(tmp_path):
+    """3 simulated hosts compress a 5-chunk file; output must be identical to
+    the single-host service's output and decode cleanly."""
+    cfg = load_config(compression={"chunk_size_mb": 1})
+    chunk = cfg.chunk_size_bytes
+    data = generate_bytes("text", 4 * chunk + 12345)
+    src = tmp_path / "mh.bin"
+    src.write_bytes(data)
+    n_chunks = 5
+    n_hosts = 3
+
+    codec = CpuChunkCodec(cfg)
+    metrics = StageMetrics()
+
+    # each "host" encodes its stripe
+    per_host_payloads = {}
+    per_host_metas = {}
+    for h in range(n_hosts):
+        assignment = ChunkAssignment(h, n_hosts, n_chunks).local_chunks()
+        payloads, metas = [], []
+        for ci in assignment:
+            off = ci * chunk
+            cd = np.frombuffer(data[off : off + chunk], np.uint8)
+            enc = codec.encode_chunk(cd, metrics)
+            payloads.append(enc.payload)
+            metas.append((ci, off, cd.size, enc))
+        per_host_payloads[h] = payloads
+        per_host_metas[h] = metas
+
+    # all-gather sizes -> global offsets (identical on every host)
+    per_host_sizes = [
+        [len(p) for p in per_host_payloads[h]] for h in range(n_hosts)
+    ]
+    sizes = interleave_gathered(per_host_sizes, n_chunks)
+    offs = global_offsets(sizes)
+
+    # each host pwrites its stripe
+    out = str(tmp_path / "mh.dcz")
+    open(out, "wb").close()
+    for h in range(n_hosts):
+        idxs = [m[0] for m in per_host_metas[h]]
+        write_host_payloads(out, per_host_payloads[h], idxs, offs)
+
+    # host 0 assembles metadata + footer
+    metas_by_index = [None] * n_chunks
+    for h in range(n_hosts):
+        for ci, off, nsz, enc in per_host_metas[h]:
+            metas_by_index[ci] = ChunkMeta(
+                ci, off, nsz, int(offs[ci]), int(sizes[ci]), enc.sha256, enc.code_lengths
+            )
+    header = assemble_header(
+        "mh.bin", len(data), int(os.path.getmtime(src) * 1000), chunk, metas_by_index
+    )
+    write_footer_host0(out, header, int(sizes.sum()))
+
+    # the standard reader decodes it
+    h2, data_start = read_container(out)
+    assert data_start == 0 and h2.num_chunks == n_chunks
+    svc = CpuCompressionService(cfg)
+    restored = str(tmp_path / "mh.out")
+    svc.decompress(out, restored)
+    assert open(restored, "rb").read() == data
+    assert svc.verify_integrity(out, deep=True)
+
+    # byte-identical to the single-host service output
+    ref = str(tmp_path / "ref.dcz")
+    svc.compress(str(src), ref)
+    assert open(out, "rb").read() == open(ref, "rb").read()
+    svc.close()

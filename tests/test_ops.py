@@ -192,3 +192,32 @@ class TestEncodeMerge:
         )
         assert int(tb) == 0
         assert not np.asarray(words).any()
+
+
+class TestEncodeMergeLargeEntropy:
+    """Regression: group bit-lengths above 256 overflowed the default (bf16)
+    TPU matmul precision in the prefix-sum stage, silently corrupting streams
+    for high-entropy chunks (caught by the round-trip checksum).  The cumsum
+    matmul now pins precision=HIGHEST; this covers the shape on any backend."""
+
+    def test_random_1mb_bit_exact(self):
+        from datacomp_tpu.ops import encode_device_merge
+
+        n = 1 << 20
+        # skewed+random mix: the shared codebook gives the random half 9-bit
+        # codes, pushing group lengths past 256 bits (the exact failing shape)
+        data = np.frombuffer(
+            generate_bytes("skewed", n // 2) + generate_bytes("random", n // 2), np.uint8
+        )
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        # random bytes ⇒ ~8-bit codes ⇒ group lengths ≈ 256-288 bits
+        l64 = lens.astype(np.int64)[data]
+        gl = np.add.reduceat(l64, np.arange(0, n, 32))
+        assert gl.max() > 256
+        words, tb = encode_device_merge(
+            jnp.asarray(data), jnp.int32(n), jnp.asarray(lens), jnp.asarray(codes),
+            (9 * n + 31) // 32 + 2,
+        )
+        assert int(tb) == int(l64.sum())
+        got = words_to_bytes(np.asarray(words)[: (int(tb) + 31) // 32], int(tb))
+        assert got == encode_bitstream(data, lens, codes)

@@ -1,0 +1,133 @@
+"""Dashboard / logging / config / testdata surface tests."""
+
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from datacomp_tpu.config import load_config
+from datacomp_tpu.models import CompressionMetrics, MetricsService, OperationType
+from datacomp_tpu.ui import export_html, render_dashboard
+from datacomp_tpu.ui.dashboard import sparkline
+from datacomp_tpu.utils.testdata import JavaRandom, generate_bytes, java_random_bytes
+
+
+@pytest.fixture
+def populated_metrics():
+    ms = MetricsService()
+    for i in range(5):
+        ms.add_metrics(
+            CompressionMetrics(
+                f"file{i}.bin", OperationType.COMPRESSION, 1000 * (i + 1),
+                400 * (i + 1), 0.01 * (i + 1), "CPU",
+            )
+        )
+    return ms
+
+
+class TestDashboard:
+    def test_render_empty(self):
+        out = render_dashboard(MetricsService())
+        assert "datacomp-tpu dashboard" in out
+        assert "No operations recorded" in out
+
+    def test_render_populated(self, populated_metrics):
+        out = render_dashboard(populated_metrics)
+        assert "file4.bin" in out
+        assert "Throughput history" in out
+        assert "MB/s" in out
+
+    def test_html_export(self, tmp_path, populated_metrics):
+        p = str(tmp_path / "report.html")
+        export_html(p, populated_metrics)
+        html = open(p).read()
+        assert "<table>" in html and "file0.bin" in html
+        assert html.count('class="bar"') == 5
+
+    def test_sparkline(self):
+        assert sparkline([]) == ""
+        s = sparkline([0.0, 1.0, 2.0, 4.0])
+        assert len(s) == 4
+        assert s[-1] == "█"
+
+
+class TestConfig:
+    def test_env_override(self, monkeypatch):
+        monkeypatch.setenv("DATACOMP_COMPRESSION_CHUNK_SIZE_MB", "7")
+        monkeypatch.setenv("DATACOMP_DEVICE_FORCE_CPU", "true")
+        cfg = load_config()
+        assert cfg.compression.chunk_size_mb == 7
+        assert cfg.device.force_cpu is True
+
+    def test_toml_file(self, tmp_path):
+        p = tmp_path / "cfg.toml"
+        p.write_text(
+            "[datacomp.compression]\nchunk-size-mb = 3\n"
+            "[datacomp.output]\ncompressed-extension = '.dz2'\n"
+        )
+        cfg = load_config(str(p))
+        assert cfg.compression.chunk_size_mb == 3
+        assert cfg.output.compressed_extension == ".dz2"
+
+    def test_override_precedence(self, tmp_path, monkeypatch):
+        p = tmp_path / "cfg.toml"
+        p.write_text("[datacomp.compression]\nchunk-size-mb = 3\n")
+        monkeypatch.setenv("DATACOMP_COMPRESSION_CHUNK_SIZE_MB", "5")
+        cfg = load_config(str(p), compression={"chunk_size_mb": 9})
+        assert cfg.compression.chunk_size_mb == 9  # kwargs beat env beat file
+
+    def test_effective_threads_clamped(self):
+        cfg = load_config()
+        assert 2 <= cfg.effective_cpu_threads() <= 8
+        cfg = load_config(compression={"cpu_threads": 3})
+        assert cfg.effective_cpu_threads() == 3
+
+
+class TestLogging:
+    def test_setup_and_metrics_log(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from datacomp_tpu.utils import logging_setup
+
+        logging_setup._configured = False
+        cfg = load_config(
+            logging={"file_path": str(tmp_path / "logs" / "dc.log"), "metrics_enabled": True}
+        )
+        logging_setup.setup_logging(cfg, force=True)
+        logging.getLogger("datacomp_tpu.test").info("hello")
+        MetricsService.get_instance().add_metrics(
+            CompressionMetrics("x.bin", OperationType.COMPRESSION, 10, 5, 0.1, "CPU")
+        )
+        for h in logging.getLogger("datacomp.metrics").handlers:
+            h.flush()
+        mlog = tmp_path / "logs" / "metrics.log"
+        assert mlog.exists()
+        assert "x.bin" in mlog.read_text()
+        MetricsService.reset_instance()
+
+
+class TestTestData:
+    def test_java_random_deterministic(self):
+        assert java_random_bytes(100) == java_random_bytes(100)
+        assert java_random_bytes(100, seed=1) != java_random_bytes(100, seed=2)
+
+    def test_known_java_vector(self):
+        """First bytes of new Random(42).nextBytes match the JDK: the LCG
+        is specified in the Java SE docs, so this is a fixed vector."""
+        r = JavaRandom(42)
+        got = list(r.next_bytes(8))
+        # state0 = (42 ^ 0x5DEECE66D); two nextInt() draws, little-endian bytes
+        s = (42 ^ 0x5DEECE66D) & ((1 << 48) - 1)
+        want = []
+        for _ in range(2):
+            s = (s * 0x5DEECE66D + 0xB) & ((1 << 48) - 1)
+            v = s >> 16
+            want += [(v >> (8 * i)) & 0xFF for i in range(4)]
+        assert got == want
+
+    def test_generate_kinds(self):
+        for kind in ["random", "compressible", "text", "zeros", "skewed"]:
+            b = generate_bytes(kind, 1000)
+            assert len(b) == 1000
+        h = np.bincount(np.frombuffer(generate_bytes("text", 50_000), np.uint8), minlength=256)
+        assert h.max() > h[h > 0].min() * 3  # skewed distribution

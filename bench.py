@@ -83,24 +83,38 @@ def main() -> int:
                     svc, src, os.path.join(d, "c.dcz"), os.path.join(d, "c.out"), iters
                 )
         if "tpu" in backends:
-            try:
-                from datacomp_tpu.services.tpu_service import TpuCompressionService
+            # Time-box the TPU leg: remote-attached TPUs pay a large one-time
+            # program-load/handshake cost that can exceed the driver budget
+            # on a cold cache; the CPU result is still a valid headline.
+            import threading
 
-                cfg = load_config(
-                    compression={
-                        "chunk_size_mb": chunk_mb, "format_version": 2,
-                        "codebook_mode": "device",
-                    },
-                )
-                svc = TpuCompressionService(cfg)
-                if svc.is_available():
-                    results["tpu"] = _time_service(
-                        svc, src, os.path.join(d, "t.dcz"), os.path.join(d, "t.out"),
-                        iters,
+            tpu_budget = float(os.environ.get("BENCH_TPU_TIMEOUT_S", "360"))
+
+            def tpu_leg():
+                try:
+                    from datacomp_tpu.services.tpu_service import TpuCompressionService
+
+                    cfg = load_config(
+                        compression={
+                            "chunk_size_mb": chunk_mb, "format_version": 2,
+                            "codebook_mode": "device",
+                        },
                     )
-                svc.close()
-            except Exception as e:  # noqa: BLE001 — report what ran
-                results["tpu_error"] = str(e)[:200]
+                    svc = TpuCompressionService(cfg)
+                    if svc.is_available():
+                        results["tpu"] = _time_service(
+                            svc, src, os.path.join(d, "t.dcz"),
+                            os.path.join(d, "t.out"), iters,
+                        )
+                    svc.close()
+                except Exception as e:  # noqa: BLE001 — report what ran
+                    results["tpu_error"] = str(e)[:200]
+
+            th = threading.Thread(target=tpu_leg, daemon=True)
+            th.start()
+            th.join(tpu_budget)
+            if th.is_alive():
+                results["tpu_error"] = f"tpu leg exceeded {tpu_budget:.0f}s budget"
 
     measured = {k: v for k, v in results.items() if isinstance(v, dict)}
     if not measured:
@@ -108,22 +122,22 @@ def main() -> int:
         return 1
     best = max(measured, key=lambda k: measured[k]["compress_mbps"])
     mbps = measured[best]["compress_mbps"]
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_compress_throughput",
-                "value": mbps,
-                "unit": "MB/s",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 2),
-                "best_backend": best,
-                "file_mb": size_mb,
-                "iters": iters,
-                **{f"{k}_{m}": v for k, r in measured.items() for m, v in r.items()},
-                **({"tpu_error": results["tpu_error"]} if "tpu_error" in results else {}),
-            }
-        )
+    out_json = json.dumps(
+        {
+            "metric": "end_to_end_compress_throughput",
+            "value": mbps,
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_MBPS, 2),
+            "best_backend": best,
+            "file_mb": size_mb,
+            "iters": iters,
+            **{f"{k}_{m}": v for k, r in measured.items() for m, v in r.items()},
+            **({"tpu_error": results["tpu_error"]} if "tpu_error" in results else {}),
+        }
     )
-    return 0
+    print(out_json, flush=True)
+    # a still-running abandoned TPU thread must not block exit
+    os._exit(0)
 
 
 if __name__ == "__main__":

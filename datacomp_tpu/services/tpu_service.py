@@ -145,10 +145,44 @@ class TpuChunkCodec(ChunkCodec):
         # that built the code is ≤ H+1 ≤ 9 bits/byte, so 9n/32 words suffice;
         # a host-side guard below re-raises (→ CPU fallback) if ever exceeded.
         self.out_words = (9 * self.padded_size + 31) // 32 + 2
+        # The first execution of each device program pays a one-time load
+        # (expensive through remote-attached TPUs); serialize it so worker
+        # threads don't contend on concurrent first-runs.
+        self._warm_lock = __import__("threading").Lock()
+        self._encode_warm = False
+        self._decode_warm = False
+        self._fused = None  # device-codebook fused pipeline (built lazily)
+
+    def _fused_pipeline(self):
+        """Single jit for the device-codebook mode: histogram → codebook →
+        encode in ONE executable (one program load, no host round-trips)."""
+        if self._fused is None:
+            jax = _get_jax()
+
+            def fused(data, valid_len):
+                hist = histogram_device(data, valid_len)
+                lengths, codes = device_codebook(hist)
+                words, total_bits, gaps = encode_device_merge(
+                    data, valid_len, lengths, codes, self.out_words,
+                    self.subblock or self.config.compression.subblock_symbols,
+                )
+                return lengths, words, total_bits, gaps
+
+            self._fused = jax.jit(fused)
+        return self._fused
 
     # -- encode -------------------------------------------------------------
 
     def encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
+        if not self._encode_warm:
+            with self._warm_lock:
+                if not self._encode_warm:
+                    out = self._encode_chunk(data, metrics)
+                    self._encode_warm = True
+                    return out
+        return self._encode_chunk(data, metrics)
+
+    def _encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
         jax = _get_jax()
         import jax.numpy as jnp
 
@@ -164,10 +198,27 @@ class TpuChunkCodec(ChunkCodec):
         padded[:n] = data
         x = jax.device_put(padded, dev)
 
+        mode = self.config.compression.codebook_mode
+        v2 = self.config.compression.format_version >= 2
+        if mode == "device" and v2:
+            # fused single-executable path: histogram → codebook → encode
+            with metrics.timed(Stage.ENCODING, n):
+                lengths_dev, words, total_bits, gaps = self._fused_pipeline()(
+                    x, jnp.int32(n)
+                )
+                tb = int(total_bits)
+                if tb > self.out_words * 32:
+                    raise RuntimeError("encoded stream exceeded device word capacity")
+                nw = (tb + 31) // 32
+                payload = words_to_bytes(np.asarray(words[:nw]), tb)
+                lengths = np.asarray(lengths_dev).astype(np.int32)
+                nsub = (n + self.subblock - 1) // self.subblock
+                gap_bits = np.asarray(gaps)[:nsub].astype(np.uint32)
+            return EncodedChunk(payload, lengths, sha, gap_bits)
+
         with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
             hist_dev = histogram_device(x, jnp.int32(n))
 
-        mode = self.config.compression.codebook_mode
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
             if mode == "device":
                 lengths_dev, codes_dev = device_codebook(hist_dev)
@@ -179,7 +230,6 @@ class TpuChunkCodec(ChunkCodec):
                 lengths_dev = jax.device_put(lengths, dev)
                 codes_dev = jax.device_put(codes, dev)
 
-        v2 = self.config.compression.format_version >= 2
         # bucketed static scatter-slot bound (maxlen+2), avoiding a recompile
         # per distinct per-chunk max code length
         if mode == "device":
@@ -214,6 +264,15 @@ class TpuChunkCodec(ChunkCodec):
     # -- decode -------------------------------------------------------------
 
     def decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
+        if not self._decode_warm:
+            with self._warm_lock:
+                if not self._decode_warm:
+                    out = self._decode_chunk(payload, meta, header, metrics)
+                    self._decode_warm = True
+                    return out
+        return self._decode_chunk(payload, meta, header, metrics)
+
+    def _decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
         use_device = (
             header.version >= ct.VERSION_V2
             and meta.gap_bits is not None

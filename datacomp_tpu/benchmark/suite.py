@@ -88,6 +88,11 @@ class BenchmarkSuite:
     def benchmark_service(
         self, svc, name: str, input_path: str, workdir: str
     ) -> List[BenchmarkResult]:
+        """One service's warmup+measure cycle.  With
+        ``benchmark.detailed_profiling`` a ``jax.profiler`` trace of the
+        measured iterations is written under ``<workdir>/jax-trace-<name>``
+        (the TornadoVM-profiler-flag equivalent, ``docs/BENCHMARKING.md:91``
+        in the reference)."""
         warmup = self.config.benchmark.warmup_iterations
         measure = self.config.benchmark.measurement_iterations
         file_size = os.path.getsize(input_path)
@@ -97,10 +102,23 @@ class BenchmarkSuite:
         comp = BenchmarkResult(name, "compress", file_size, measure)
         for _ in range(warmup):
             svc.compress(input_path, dcz)
+        profiler_cm = None
+        if self.config.benchmark.detailed_profiling:
+            try:
+                import jax
+
+                profiler_cm = jax.profiler.trace(
+                    os.path.join(workdir, f"jax-trace-{name}")
+                )
+                profiler_cm.__enter__()
+            except Exception:  # noqa: BLE001 — profiling is best-effort
+                profiler_cm = None
         for _ in range(measure):
             t0 = time.perf_counter()
             svc.compress(input_path, dcz)
             comp.durations_s.append(time.perf_counter() - t0)
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
         comp.compressed_size = os.path.getsize(dcz)
         comp.stage_ms = {
             k: v["ms"] for k, v in svc.get_last_stage_metrics().as_dict().items()

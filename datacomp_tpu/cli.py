@@ -161,6 +161,64 @@ def cmd_devices(args) -> int:
     return 0
 
 
+TEMPLATE_TOML = """\
+# datacomp-tpu configuration (all keys optional; defaults shown)
+[datacomp.compression]
+chunk-size-mb = 16
+io-buffer-size-kb = 256
+cpu-threads = 0            # 0 = auto (clamp(cores, 2, 8))
+use-memory-mapped-io = true
+subblock-symbols = 4096    # v2 gap-array granularity
+format-version = 1         # 1 = reference-bit-compatible, 2 = +gap arrays
+codebook-mode = "java"     # java | fast | device
+
+[datacomp.device]
+auto-detect = true
+force-cpu = false
+platform = "any"           # tpu | cpu | any
+device-index = -1
+fallback-on-error = true
+parallel-chunks = 2
+
+[datacomp.benchmark]
+warmup-iterations = 3
+measurement-iterations = 5
+detailed-profiling = false
+output-format = "console"  # console | json | csv
+
+[datacomp.logging]
+level = "INFO"
+metrics-enabled = true
+file-path = ""
+
+[datacomp.output]
+compressed-extension = ".dcz"
+verify-after-compress = true
+keep-original = true
+"""
+
+
+def cmd_config(args) -> int:
+    """Settings surface (replaces the reference's JavaFX Settings view)."""
+    if args.init:
+        path = args.init
+        if os.path.exists(path) and not args.force:
+            print(f"error: {path} exists (use --force to overwrite)", file=sys.stderr)
+            return 1
+        with open(path, "w") as f:
+            f.write(TEMPLATE_TOML)
+        print(f"Wrote config template to {path}")
+        return 0
+    import dataclasses
+
+    cfg = load_config(args.file)
+    for section in ("compression", "device", "benchmark", "logging", "output"):
+        print(f"[{section}]")
+        for fld in dataclasses.fields(getattr(cfg, section)):
+            print(f"  {fld.name} = {getattr(getattr(cfg, section), fld.name)!r}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     ms = MetricsService.get_instance()
     recent = ms.get_recent()
@@ -235,6 +293,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("devices", help="enumerate compute devices")
     sp.set_defaults(func=cmd_devices)
+
+    sp = sub.add_parser("config", help="show effective configuration / write a template")
+    sp.add_argument("--file", default=None, help="config file to load")
+    sp.add_argument("--init", default=None, metavar="PATH",
+                    help="write a commented datacomp.toml template to PATH")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(func=cmd_config)
     return p
 
 

@@ -32,6 +32,8 @@ def _build() -> None:
     cmd = [
         "g++",
         "-O3",
+        "-march=native",
+        "-funroll-loops",
         "-std=c++17",
         "-shared",
         "-fPIC",
@@ -39,6 +41,11 @@ def _build() -> None:
         _LIB_PATH,
         _SRC,
     ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return
+    except subprocess.CalledProcessError:
+        cmd.remove("-march=native")  # fall back for toolchains without it
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
@@ -60,11 +67,23 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ]
             lib.dcz_encode.restype = ctypes.c_int64
+            lib.dcz_encode_gaps.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.dcz_encode_gaps.restype = ctypes.c_int64
             lib.dcz_decode.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             lib.dcz_decode.restype = ctypes.c_int64
+            lib.dcz_decode_gaps.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.dcz_decode_gaps.restype = ctypes.c_int64
             _lib = lib
         except Exception as e:  # noqa: BLE001 — degrade to numpy fallbacks
             _build_error = str(e)
@@ -94,21 +113,63 @@ def histogram(data: np.ndarray) -> np.ndarray:
     return out
 
 
-def encode(data: np.ndarray, lengths: np.ndarray, codes: np.ndarray) -> bytes:
+def encode(
+    data: np.ndarray, lengths: np.ndarray, codes: np.ndarray,
+    nbits: int | None = None, subblock: int = 0,
+):
     """Native bit-serial encode; raises RuntimeError if the library is absent
-    (callers should check :func:`is_available` and fall back)."""
+    (callers should check :func:`is_available` and fall back).  ``nbits`` is
+    the exact encoded bit count (histogram · lengths); computed here if the
+    caller doesn't already have the histogram."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native codec unavailable: {_build_error}")
     data = np.ascontiguousarray(data, dtype=np.uint8)
     lengths32 = np.ascontiguousarray(lengths, dtype=np.int32)
     codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
-    nbits = int(np.bincount(data, minlength=256).astype(np.int64) @ lengths32.astype(np.int64))
-    out = np.empty((nbits + 7) // 8, dtype=np.uint8)
+    if nbits is None:
+        nbits = int(
+            np.bincount(data, minlength=256).astype(np.int64)
+            @ lengths32.astype(np.int64)
+        )
+    size = (nbits + 7) // 8
+    out = np.empty(size + 8, dtype=np.uint8)  # +8: encoder's branchless-store slack
+    if subblock > 0:
+        ngaps = (data.size + subblock - 1) // subblock
+        gaps = np.zeros(max(ngaps, 1), dtype=np.uint32)
+        w = lib.dcz_encode_gaps(
+            _ptr(data), data.size, _ptr(lengths32), _ptr(codes32),
+            _ptr(out), out.size, _ptr(gaps), subblock,
+        )
+        if w != size:
+            raise RuntimeError(f"native encode size mismatch: {w} != {size}")
+        return out[:size].tobytes(), gaps[:ngaps]
     w = lib.dcz_encode(_ptr(data), data.size, _ptr(lengths32), _ptr(codes32), _ptr(out), out.size)
-    if w != out.size:
-        raise RuntimeError(f"native encode size mismatch: {w} != {out.size}")
-    return out.tobytes()
+    if w != size:
+        raise RuntimeError(f"native encode size mismatch: {w} != {size}")
+    return out[:size].tobytes()
+
+
+def decode_gaps(
+    payload: bytes, n_symbols: int, lengths: np.ndarray,
+    gap_bits: np.ndarray, subblock: int,
+) -> np.ndarray:
+    """4-way ILP gap-array decode (format v2): independent sub-block cursors
+    interleaved so the table-lookup dependency chains overlap."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_build_error}")
+    comp = np.frombuffer(payload, dtype=np.uint8)
+    lengths32 = np.ascontiguousarray(lengths, dtype=np.int32)
+    gaps32 = np.ascontiguousarray(gap_bits, dtype=np.uint32)
+    out = np.empty(n_symbols, dtype=np.uint8)
+    rc = lib.dcz_decode_gaps(
+        _ptr(comp), comp.size, n_symbols, _ptr(lengths32), _ptr(gaps32),
+        gaps32.size, subblock, _ptr(out),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt Huffman stream (native gap decode rc={rc})")
+    return out
 
 
 def decode(payload: bytes, n_symbols: int, lengths: np.ndarray) -> np.ndarray:

@@ -60,18 +60,24 @@ class CpuChunkCodec(ChunkCodec):
             lengths, codes = huffman.build_codebook(
                 hist, mode=self.config.compression.codebook_mode
             )
+        v2 = self.config.compression.format_version >= 2 and n > 0
+        sub = self.config.compression.subblock_symbols
+        gap_bits = None
         with metrics.timed(Stage.ENCODING, n):
             if native.is_available():
-                payload = native.encode(data, lengths, codes)
+                nbits = int(hist @ lengths.astype(np.int64))
+                if v2:
+                    payload, gap_bits = native.encode(
+                        data, lengths, codes, nbits=nbits, subblock=sub
+                    )
+                else:
+                    payload = native.encode(data, lengths, codes, nbits=nbits)
             else:
                 payload = bitio.encode_bitstream(data, lengths, codes)
-        gap_bits = None
-        if self.config.compression.format_version >= 2 and n > 0:
-            s = self.config.compression.subblock_symbols
-            lens = lengths.astype(np.int64)[data]
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            gap_bits = starts[::s].astype(np.uint32)
+                if v2:
+                    lens = lengths.astype(np.int64)[data]
+                    starts = np.cumsum(lens) - lens
+                    gap_bits = starts[::sub].astype(np.uint32)
         return EncodedChunk(payload, lengths, sha, gap_bits)
 
     def decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
@@ -80,6 +86,15 @@ class CpuChunkCodec(ChunkCodec):
                 raise IOError(f"invalid code-length table in chunk {meta.index}")
         with metrics.timed(Stage.DECODING, meta.original_size):
             if native.is_available():
+                if (
+                    meta.gap_bits is not None
+                    and meta.gap_bits.size > 0
+                    and header.subblock_symbols > 0
+                ):
+                    return native.decode_gaps(
+                        payload, meta.original_size, meta.code_lengths,
+                        meta.gap_bits, header.subblock_symbols,
+                    )
                 return native.decode(payload, meta.original_size, meta.code_lengths)
             return bitio.decode_bitstream_py(payload, meta.original_size, meta.code_lengths)
 

@@ -303,37 +303,40 @@ class ChunkedPipeline:
         with metrics.timed(Stage.FILE_IO):
             header, data_start = ct.read_container(input_path)
         num_chunks = header.num_chunks
-        batch = max(self.workers, 4)  # reference parity: CpuCompressionService.java:400
         completed = 0
+        # Streaming pipeline (same shape as compress): every chunk is its own
+        # job doing a lock-free positional read + decode + verify; results are
+        # written in order as they complete, so reads/decodes of later chunks
+        # overlap the ordered writes.  In-flight memory stays bounded by the
+        # worker count (the reference processes fixed batches instead,
+        # CpuCompressionService.java:398-420).
         with open(input_path, "rb") as inf, open(output_path, "wb") as out:
-            for b0 in range(0, num_chunks, batch):
-                bchunks = header.chunks[b0 : b0 + batch]
-                payloads = []
-                with metrics.timed(Stage.FILE_IO, sum(c.compressed_size for c in bchunks)):
-                    for c in bchunks:
-                        inf.seek(data_start + c.compressed_offset)
-                        payloads.append(inf.read(c.compressed_size))
+            fd = inf.fileno()
 
-                def job(payload: bytes, c: ct.ChunkMeta):
-                    data = self.codec.decode_chunk(payload, c, header, metrics)
-                    with metrics.timed(Stage.CHECKSUM_VERIFY, data.size):
-                        digest = compute_sha256(data.tobytes())
-                        if digest != c.sha256:
-                            raise IOError(
-                                f"Checksum mismatch in chunk {c.index}: "
-                                f"expected {c.sha256.hex()}, got {digest.hex()} "
-                                f"(chunk {c.original_size} B, compressed {c.compressed_size} B)"
-                            )
-                    return data
+            def job(c: ct.ChunkMeta):
+                with metrics.timed(Stage.FILE_IO, c.compressed_size):
+                    payload = os.pread(fd, c.compressed_size, data_start + c.compressed_offset)
+                if len(payload) != c.compressed_size:
+                    raise IOError(f"short read on chunk {c.index}")
+                data = self.codec.decode_chunk(payload, c, header, metrics)
+                with metrics.timed(Stage.CHECKSUM_VERIFY, data.size):
+                    digest = compute_sha256(data)  # buffer protocol, no copy
+                    if digest != c.sha256:
+                        raise IOError(
+                            f"Checksum mismatch in chunk {c.index}: "
+                            f"expected {c.sha256.hex()}, got {digest.hex()} "
+                            f"(chunk {c.original_size} B, compressed {c.compressed_size} B)"
+                        )
+                return data
 
-                futures = [self._executor.submit(job, p, c) for p, c in zip(payloads, bchunks)]
-                for fut in futures:
-                    data = fut.result()
-                    with metrics.timed(Stage.FILE_IO, data.size):
-                        out.write(data.tobytes())
-                    completed += 1
-                    if progress is not None:
-                        progress(completed / max(num_chunks, 1))
+            futures = [self._executor.submit(job, c) for c in header.chunks]
+            for fut in futures:
+                data = fut.result()
+                with metrics.timed(Stage.FILE_IO, data.size):
+                    out.write(data)  # numpy buffer protocol, no copy
+                completed += 1
+                if progress is not None:
+                    progress(completed / max(num_chunks, 1))
         return metrics
 
     # -- verify -------------------------------------------------------------

@@ -304,21 +304,24 @@ class ChunkedPipeline:
             header, data_start = ct.read_container(input_path)
         num_chunks = header.num_chunks
         completed = 0
-        # Streaming pipeline (same shape as compress): every chunk is its own
-        # job doing a lock-free positional read + decode + verify; results are
-        # written in order as they complete, so reads/decodes of later chunks
-        # overlap the ordered writes.  In-flight memory stays bounded by the
-        # worker count (the reference processes fixed batches instead,
-        # CpuCompressionService.java:398-420).
+        # Fully parallel pipeline: every chunk's original offset is in the
+        # metadata, so each job does a lock-free positional read, decode,
+        # verify AND positional write — no ordering barrier anywhere (the
+        # reference serializes ordered batch writes,
+        # CpuCompressionService.java:398-490).
         with open(input_path, "rb") as inf, open(output_path, "wb") as out:
-            fd = inf.fileno()
+            in_fd = inf.fileno()
+            out.truncate(header.original_file_size)
+            out_fd = out.fileno()
 
             def job(c: ct.ChunkMeta):
                 with metrics.timed(Stage.FILE_IO, c.compressed_size):
-                    payload = os.pread(fd, c.compressed_size, data_start + c.compressed_offset)
+                    payload = os.pread(in_fd, c.compressed_size, data_start + c.compressed_offset)
                 if len(payload) != c.compressed_size:
                     raise IOError(f"short read on chunk {c.index}")
                 data = self.codec.decode_chunk(payload, c, header, metrics)
+                if data.size != c.original_size:
+                    raise IOError(f"size mismatch in chunk {c.index}")
                 with metrics.timed(Stage.CHECKSUM_VERIFY, data.size):
                     digest = compute_sha256(data)  # buffer protocol, no copy
                     if digest != c.sha256:
@@ -327,13 +330,12 @@ class ChunkedPipeline:
                             f"expected {c.sha256.hex()}, got {digest.hex()} "
                             f"(chunk {c.original_size} B, compressed {c.compressed_size} B)"
                         )
-                return data
+                with metrics.timed(Stage.FILE_IO, data.size):
+                    os.pwrite(out_fd, data, c.original_offset)
 
             futures = [self._executor.submit(job, c) for c in header.chunks]
             for fut in futures:
-                data = fut.result()
-                with metrics.timed(Stage.FILE_IO, data.size):
-                    out.write(data)  # numpy buffer protocol, no copy
+                fut.result()
                 completed += 1
                 if progress is not None:
                     progress(completed / max(num_chunks, 1))

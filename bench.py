@@ -36,9 +36,12 @@ def _time_service(svc, src, dcz, out, iters):
         t0 = time.perf_counter()
         svc.compress(src, dcz)
         times.append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    svc.decompress(dcz, out)
-    dec_s = time.perf_counter() - t0
+    dec_times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        svc.decompress(dcz, out)
+        dec_times.append(time.perf_counter() - t0)
+    dec_s = min(dec_times)
     file_size = os.path.getsize(src)
     with open(src, "rb") as a, open(out, "rb") as b:
         while True:

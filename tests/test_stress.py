@@ -114,10 +114,15 @@ def test_large_file_scalability(tmp_path):
             f.write(block)
     with CpuCompressionService(cfg) as svc:
         dcz = src + ".dcz"
+        before_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         svc.compress(src, dcz)
         peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-        # memory stays O(workers × chunk), far below file size
-        assert peak_mb < 1200, f"peak RSS {peak_mb:.0f} MB"
+        # memory stays O(workers × chunk), far below the 1 GB file — measured
+        # as growth over the pre-existing peak (jax in earlier tests of the
+        # same process can dominate absolute maxrss)
+        assert peak_mb - before_mb < 800, (
+            f"compress grew peak RSS by {peak_mb - before_mb:.0f} MB"
+        )
         out = src + ".out"
         svc.decompress(dcz, out)
     import filecmp

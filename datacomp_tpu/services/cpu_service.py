@@ -63,9 +63,18 @@ class CpuChunkCodec(ChunkCodec):
         v2 = self.config.compression.format_version >= 2 and n > 0
         sub = self.config.compression.subblock_symbols
         gap_bits = None
+        nbits = int(hist @ lengths.astype(np.int64))
+        if v2 and nbits >= n * 8:
+            # incompressible chunk: store raw (v2-only; marked by all-zero
+            # code lengths + compressedSize == originalSize).  The reference
+            # always Huffman-encodes and expands on such data
+            # (docs: random ⇒ 100%+, e.g. its 3.05 GB video run).
+            with metrics.timed(Stage.ENCODING, n):
+                return EncodedChunk(
+                    data.tobytes(), np.zeros(256, np.int32), sha, None
+                )
         with metrics.timed(Stage.ENCODING, n):
             if native.is_available():
-                nbits = int(hist @ lengths.astype(np.int64))
                 if v2:
                     payload, gap_bits = native.encode(
                         data, lengths, codes, nbits=nbits, subblock=sub
@@ -81,6 +90,14 @@ class CpuChunkCodec(ChunkCodec):
         return EncodedChunk(payload, lengths, sha, gap_bits)
 
     def decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
+        if (
+            header.version >= ct.VERSION_V2
+            and not meta.code_lengths.any()
+            and meta.compressed_size == meta.original_size
+        ):
+            # raw-stored incompressible chunk
+            with metrics.timed(Stage.DECODING, meta.original_size):
+                return np.frombuffer(payload, dtype=np.uint8)
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD):
             if not huffman.validate_lengths(meta.code_lengths):
                 raise IOError(f"invalid code-length table in chunk {meta.index}")

@@ -207,6 +207,9 @@ class TpuChunkCodec(ChunkCodec):
                     x, jnp.int32(n)
                 )
                 tb = int(total_bits)
+                if tb >= n * 8:
+                    # incompressible: store raw (v2 marker: all-zero lengths)
+                    return EncodedChunk(data.tobytes(), np.zeros(256, np.int32), sha, None)
                 if tb > self.out_words * 32:
                     raise RuntimeError("encoded stream exceeded device word capacity")
                 nw = (tb + 31) // 32
@@ -252,6 +255,9 @@ class TpuChunkCodec(ChunkCodec):
                 )
                 gap_bits = None
             tb = int(total_bits)
+            if v2 and tb >= n * 8:
+                # incompressible: store raw (v2 marker: all-zero lengths)
+                return EncodedChunk(data.tobytes(), np.zeros(256, np.int32), sha, None)
             if tb > self.out_words * 32:
                 raise RuntimeError("encoded stream exceeded device word capacity")
             # D2H only the live prefix: device-slice to ceil(bits/32) words
@@ -273,6 +279,13 @@ class TpuChunkCodec(ChunkCodec):
         return self._decode_chunk(payload, meta, header, metrics)
 
     def _decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
+        if (
+            header.version >= ct.VERSION_V2
+            and not meta.code_lengths.any()
+            and meta.compressed_size == meta.original_size
+        ):
+            with metrics.timed(Stage.DECODING, meta.original_size):
+                return np.frombuffer(payload, dtype=np.uint8)
         use_device = (
             header.version >= ct.VERSION_V2
             and meta.gap_bits is not None

@@ -144,3 +144,33 @@ def test_reference_fixture_files(svc, tmp_path):
             pytest.skip(f"{name} not present")
         data = open(path, "rb").read()
         roundtrip(svc, tmp_path, data, name=name)
+
+
+def test_raw_store_incompressible_v2(tmp_path):
+    """Format v2 stores incompressible chunks raw (all-zero code lengths +
+    equal sizes marker), so ratio never exceeds 1 + metadata overhead — the
+    reference expands such data (its 3.05 GB video run grew by 104 KB)."""
+    cfg = load_config(compression={"chunk_size_mb": 1, "format_version": 2})
+    data = generate_bytes("random", 2 * 1024 * 1024 + 99)
+    src = tmp_path / "r.bin"
+    src.write_bytes(data)
+    dcz = str(src) + ".dcz"
+    with CpuCompressionService(cfg) as svc:
+        svc.compress(str(src), dcz)
+        h, _ = read_container(dcz)
+        # full-size random chunks are stored raw; the 99-byte tail may
+        # legitimately compress (few distinct symbols)
+        full = [c for c in h.chunks if c.original_size == 1024 * 1024]
+        assert full and all(not c.code_lengths.any() for c in full)
+        assert all(c.compressed_size == c.original_size for c in full)
+        payload_total = sum(c.compressed_size for c in h.chunks)
+        assert payload_total <= len(data)  # never expands in v2
+        svc.decompress(dcz, str(src) + ".out")
+    assert open(str(src) + ".out", "rb").read() == data
+
+    # v1 stays reference-faithful: still Huffman-encodes (slight expansion)
+    cfg1 = load_config(compression={"chunk_size_mb": 1, "format_version": 1})
+    with CpuCompressionService(cfg1) as svc:
+        svc.compress(str(src), str(src) + ".v1.dcz")
+        h1, _ = read_container(str(src) + ".v1.dcz")
+        assert any(c.code_lengths.any() for c in h1.chunks)

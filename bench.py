@@ -80,7 +80,11 @@ def main() -> int:
         if "cpu" in backends:
             from datacomp_tpu.services.cpu_service import CpuCompressionService
 
-            cfg = load_config(compression={"chunk_size_mb": chunk_mb})
+            # format v2: gap arrays (parallel decode) + raw-store for
+            # incompressible chunks; the framework's recommended format
+            cfg = load_config(
+                compression={"chunk_size_mb": chunk_mb, "format_version": 2}
+            )
             with CpuCompressionService(cfg) as svc:
                 results["cpu"] = _time_service(
                     svc, src, os.path.join(d, "c.dcz"), os.path.join(d, "c.out"), iters

@@ -42,9 +42,6 @@ class DeviceConfig:
     fallback_on_error: bool = True
     # Number of chunks resident on device concurrently (sized against HBM).
     parallel_chunks: int = 2
-    # Pad chunks to this many bytes on device (static shapes for XLA).
-    # 0 = equal to chunk size.
-    device_chunk_pad: int = 0
 
 
 @dataclass(frozen=True)

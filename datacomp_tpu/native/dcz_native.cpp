@@ -242,15 +242,33 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
       if (l > 0) sym_sorted[static_cast<size_t>(fill[l]++)] = static_cast<uint8_t>(s);
     }
   }
-  const int TB = max_len < 16 ? max_len : 16;
-  std::vector<uint16_t> table(static_cast<size_t>(1) << TB, 0xFFFF);
-  for (int l = 1; l <= TB; l++) {
-    for (int64_t c = first[l]; c < limit[l]; c++) {
-      const uint8_t sym = sym_sorted[static_cast<size_t>(base[l] + c - first[l])];
-      const uint64_t start = static_cast<uint64_t>(c) << (TB - l);
-      const uint64_t span = static_cast<uint64_t>(1) << (TB - l);
-      const uint16_t entry = static_cast<uint16_t>((l << 8) | sym);
-      for (uint64_t k = 0; k < span; k++) table[start + k] = entry;
+  // 16-bit PAIR table: each entry decodes 1 or 2 symbols per lookup.
+  // layout: sym1 | sym2<<8 | count<<16 | totalLen<<18 ; ESCAPE = long code.
+  constexpr uint32_t ESCAPE = 0xFFFFFFFFu;
+  std::vector<uint32_t> pt(static_cast<size_t>(1) << 16, ESCAPE);
+  const int L1 = max_len < 16 ? max_len : 16;
+  for (int l1 = 1; l1 <= L1; l1++) {
+    for (int64_t c1 = first[l1]; c1 < limit[l1]; c1++) {
+      const uint8_t s1 = sym_sorted[static_cast<size_t>(base[l1] + c1 - first[l1])];
+      const uint64_t start1 = static_cast<uint64_t>(c1) << (16 - l1);
+      const uint64_t span1 = static_cast<uint64_t>(1) << (16 - l1);
+      const uint32_t e1 =
+          static_cast<uint32_t>(s1) | (1u << 16) | (static_cast<uint32_t>(l1) << 18);
+      for (uint64_t k = 0; k < span1; k++) pt[start1 + k] = e1;
+      const int rem = 16 - l1;
+      for (int l2 = 1; l2 <= rem && l2 <= max_len; l2++) {
+        for (int64_t c2 = first[l2]; c2 < limit[l2]; c2++) {
+          const uint8_t s2 =
+              sym_sorted[static_cast<size_t>(base[l2] + c2 - first[l2])];
+          const uint64_t start2 =
+              start1 + (static_cast<uint64_t>(c2) << (rem - l2));
+          const uint64_t span2 = static_cast<uint64_t>(1) << (rem - l2);
+          const uint32_t e2 = static_cast<uint32_t>(s1) |
+                              (static_cast<uint32_t>(s2) << 8) | (2u << 16) |
+                              (static_cast<uint32_t>(l1 + l2) << 18);
+          for (uint64_t k = 0; k < span2; k++) pt[start2 + k] = e2;
+        }
+      }
     }
   }
 
@@ -294,31 +312,50 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
     }
   };
 
-  // one decoded symbol; returns length or 0 on error
-  auto step = [&](Cursor& cu) -> int {
-    const uint16_t e = table[static_cast<uint32_t>(cu.acc >> (64 - TB))];
-    int l;
-    uint8_t sym;
-    if (e != 0xFFFF) {
-      l = e >> 8;
-      sym = static_cast<uint8_t>(e & 0xFF);
-    } else {
-      l = 0;
-      sym = 0;
-      for (int ln = TB + 1; ln <= max_len; ln++) {
-        const int64_t c = static_cast<int64_t>(cu.acc >> (64 - ln));
-        if (c < limit[ln]) {
-          l = ln;
-          sym = sym_sorted[static_cast<size_t>(base[ln] + c - first[ln])];
-          break;
+  // decode 1-2 symbols via the pair table; sym2 is written unconditionally
+  // (callers provide +1 byte of slack past out[n-1]); returns 0 on error.
+  // allow_pair=false near a cursor's span end (never emit past `end`).
+  auto step = [&](Cursor& cu, bool allow_pair) -> int {
+    const uint32_t e = pt[static_cast<uint32_t>(cu.acc >> 48)];
+    if (e != ESCAPE) {
+      const int cnt0 = static_cast<int>((e >> 16) & 3u);
+      const int use_pair = (cnt0 == 2) & static_cast<int>(allow_pair);
+      out[cu.oi] = static_cast<uint8_t>(e & 0xFF);
+      out[cu.oi + 1] = static_cast<uint8_t>((e >> 8) & 0xFF);
+      int l = static_cast<int>(e >> 18);
+      if (!use_pair && cnt0 == 2) {
+        // take only the first symbol: recover its length from the stream
+        // via the single-symbol canonical tables
+        l = 0;
+        for (int ln = 1; ln <= max_len; ln++) {
+          const int64_t c = static_cast<int64_t>(cu.acc >> (64 - ln));
+          if (counts[ln] && c < limit[ln]) { l = ln; break; }
         }
+        if (l == 0) return 0;
+        cu.oi += 1;
+      } else {
+        cu.oi += 1 + use_pair;
       }
-      if (l == 0 || l > cu.nbits) return 0;
+      cu.acc <<= l;
+      cu.nbits -= l;
+      return cu.nbits >= 0 ? 1 : 0;
     }
+    // long code: canonical scan 17..max_len
+    int l = 0;
+    uint8_t sym = 0;
+    for (int ln = 17; ln <= max_len; ln++) {
+      const int64_t c = static_cast<int64_t>(cu.acc >> (64 - ln));
+      if (c < limit[ln]) {
+        l = ln;
+        sym = sym_sorted[static_cast<size_t>(base[ln] + c - first[ln])];
+        break;
+      }
+    }
+    if (l == 0 || l > cu.nbits) return 0;
     out[cu.oi++] = sym;
     cu.acc <<= l;
     cu.nbits -= l;
-    return cu.nbits >= 0 ? l : 0;
+    return 1;
   };
 
   constexpr int W = 4;
@@ -336,26 +373,19 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
     active++;
   }
   (void)active;
-  // joint loop over the minimum span, 4 independent chains per iteration
-  int64_t joint = cur[0].end - cur[0].oi;
-  for (int k = 1; k < W; k++) {
-    const int64_t len = cur[k].end - cur[k].oi;
-    if (len < joint) joint = len;
-  }
-  for (int64_t i = 0; i < joint; i++) {
-    refill(cur[0]); refill(cur[1]); refill(cur[2]); refill(cur[3]);
-    const int l0 = step(cur[0]);
-    const int l1 = step(cur[1]);
-    const int l2 = step(cur[2]);
-    const int l3 = step(cur[3]);
-    if ((l0 | l1 | l2 | l3) == 0 || !l0 || !l1 || !l2 || !l3) return -1;
-  }
-  // finish ragged tails sequentially
-  for (int k = 0; k < W; k++) {
-    while (cur[k].oi < cur[k].end) {
+  // joint loop: 4 independent decode chains per iteration (pairs allowed
+  // while >= 2 symbols remain in a cursor's span)
+  while (true) {
+    bool all_done = true;
+    bool any_err = false;
+    for (int k = 0; k < W; k++) {
+      if (cur[k].oi >= cur[k].end) continue;
+      all_done = false;
       refill(cur[k]);
-      if (step(cur[k]) == 0) return -1;
+      if (step(cur[k], cur[k].oi + 1 < cur[k].end) == 0) any_err = true;
     }
+    if (any_err) return -1;
+    if (all_done) break;
   }
   return 0;
 }

@@ -19,8 +19,6 @@ here the batch axis scales to however many chips the mesh has.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

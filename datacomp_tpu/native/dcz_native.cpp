@@ -180,18 +180,21 @@ int64_t dcz_decode(const uint8_t* comp, int64_t comp_len, int64_t n_symbols,
       l = e >> 8;
       sym = static_cast<uint8_t>(e & 0xFF);
     } else {
-      // long code: canonical scan TB+1..max_len
+      // long code: canonical scan TB+1..max_len.  The lower bound guards
+      // corrupt streams: c < first[ln] would index sym_sorted negatively
+      // (valid streams always satisfy first <= c when c < limit).
       l = 0;
       sym = 0;
       for (int ln = TB + 1; ln <= max_len; ln++) {
         const int64_t c = static_cast<int64_t>(acc >> (64 - ln));
         if (c < limit[ln]) {
+          if (c < first[ln]) return -1;
           l = ln;
           sym = sym_sorted[static_cast<size_t>(base[ln] + c - first[ln])];
           break;
         }
       }
-      if (l == 0) return -1;
+      if (l == 0 || l > nbits) return -1;
     }
     out[i] = sym;
     acc <<= l;
@@ -202,10 +205,21 @@ int64_t dcz_decode(const uint8_t* comp, int64_t comp_len, int64_t n_symbols,
 }
 
 // Gap-array parallel decode (format v2): sub-block entry bit offsets let
-// several cursors walk the stream concurrently — here 4 interleaved cursors
-// in one loop so independent table-lookup chains overlap in the pipeline
-// (the ILP analogue of the TPU decoder's thousands of lanes).  Returns 0 on
-// success, -1 invalid code, -2 invalid table, -3 bad gap metadata.
+// several cursors walk the stream concurrently — here W interleaved cursors
+// whose state lives in registers (manually unrolled) so independent
+// table-lookup chains overlap in the pipeline (the ILP analogue of the TPU
+// decoder's thousands of lanes).  Each multi-symbol table hit emits 1-3
+// symbols per 16-bit lookup.
+//
+// Safety invariants (regression-tested; an earlier version violated both):
+//   * no store ever lands at or past a cursor's `end` — the joint fast loop
+//     only runs steps with oi+3 <= end, the drain never writes speculatively;
+//     a speculative pair write at a span boundary would clobber the NEXT
+//     cursor's already-decoded first symbol (and overflow `out` on the last).
+//   * canonical fallback scans check the lower bound first <= c, else a
+//     corrupt stream indexes sym_sorted negatively.
+//
+// Returns 0 on success, -1 invalid code, -2 invalid table, -3 bad gaps.
 int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols,
                         const int32_t* lengths, const uint32_t* gap_bits,
                         int64_t ngaps, int64_t subblock, uint8_t* out) {
@@ -242,39 +256,78 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
       if (l > 0) sym_sorted[static_cast<size_t>(fill[l]++)] = static_cast<uint8_t>(s);
     }
   }
-  // 16-bit PAIR table: each entry decodes 1 or 2 symbols per lookup.
-  // layout: sym1 | sym2<<8 | count<<16 | totalLen<<18 ; ESCAPE = long code.
+  // 16-bit MULTI-symbol table: each entry decodes 1, 2, or 3 complete
+  // codewords per lookup (whichever fit in the 16 peeked bits).
+  // layout: sym1 | sym2<<8 | sym3<<16 | count<<24 | totalLen<<26 ;
+  // ESCAPE = long code (> 16 bits).  A parallel SINGLE table
+  // (len<<8|sym, 0xFFFF escape) serves the careful drain path, which must
+  // emit exactly one symbol per step.
   constexpr uint32_t ESCAPE = 0xFFFFFFFFu;
   std::vector<uint32_t> pt(static_cast<size_t>(1) << 16, ESCAPE);
+  std::vector<uint16_t> st(static_cast<size_t>(1) << 16, 0xFFFF);
   const int L1 = max_len < 16 ? max_len : 16;
   for (int l1 = 1; l1 <= L1; l1++) {
     for (int64_t c1 = first[l1]; c1 < limit[l1]; c1++) {
       const uint8_t s1 = sym_sorted[static_cast<size_t>(base[l1] + c1 - first[l1])];
       const uint64_t start1 = static_cast<uint64_t>(c1) << (16 - l1);
       const uint64_t span1 = static_cast<uint64_t>(1) << (16 - l1);
-      const uint32_t e1 =
-          static_cast<uint32_t>(s1) | (1u << 16) | (static_cast<uint32_t>(l1) << 18);
-      for (uint64_t k = 0; k < span1; k++) pt[start1 + k] = e1;
+      const uint32_t e1 = static_cast<uint32_t>(s1) | (1u << 24) |
+                          (static_cast<uint32_t>(l1) << 26);
+      const uint16_t se = static_cast<uint16_t>((l1 << 8) | s1);
+      for (uint64_t k = 0; k < span1; k++) {
+        pt[start1 + k] = e1;
+        st[start1 + k] = se;
+      }
       const int rem = 16 - l1;
       for (int l2 = 1; l2 <= rem && l2 <= max_len; l2++) {
         for (int64_t c2 = first[l2]; c2 < limit[l2]; c2++) {
-          const uint8_t s2 =
-              sym_sorted[static_cast<size_t>(base[l2] + c2 - first[l2])];
-          const uint64_t start2 =
-              start1 + (static_cast<uint64_t>(c2) << (rem - l2));
+          const uint8_t s2 = sym_sorted[static_cast<size_t>(base[l2] + c2 - first[l2])];
+          const uint64_t start2 = start1 + (static_cast<uint64_t>(c2) << (rem - l2));
           const uint64_t span2 = static_cast<uint64_t>(1) << (rem - l2);
           const uint32_t e2 = static_cast<uint32_t>(s1) |
-                              (static_cast<uint32_t>(s2) << 8) | (2u << 16) |
-                              (static_cast<uint32_t>(l1 + l2) << 18);
+                              (static_cast<uint32_t>(s2) << 8) | (2u << 24) |
+                              (static_cast<uint32_t>(l1 + l2) << 26);
           for (uint64_t k = 0; k < span2; k++) pt[start2 + k] = e2;
+          const int rem2 = rem - l2;
+          for (int l3 = 1; l3 <= rem2 && l3 <= max_len; l3++) {
+            for (int64_t c3 = first[l3]; c3 < limit[l3]; c3++) {
+              const uint8_t s3 = sym_sorted[static_cast<size_t>(base[l3] + c3 - first[l3])];
+              const uint64_t start3 = start2 + (static_cast<uint64_t>(c3) << (rem2 - l3));
+              const uint64_t span3 = static_cast<uint64_t>(1) << (rem2 - l3);
+              const uint32_t e3 = static_cast<uint32_t>(s1) |
+                                  (static_cast<uint32_t>(s2) << 8) |
+                                  (static_cast<uint32_t>(s3) << 16) | (3u << 24) |
+                                  (static_cast<uint32_t>(l1 + l2 + l3) << 26);
+              for (uint64_t k = 0; k < span3; k++) pt[start3 + k] = e3;
+            }
+          }
         }
       }
     }
   }
 
+  const uint32_t* PT = pt.data();
+  const uint16_t* ST = st.data();
+  bool err = false;
+
+  // Long-code decode shared by fast and drain paths; returns symbol length
+  // or 0 on corrupt stream.  Rare by construction (codes > 16 bits), so
+  // kept out of the hot loop.
+  auto long_decode = [&](uint64_t acc, uint8_t* sym) -> int {
+    for (int ln = 17; ln <= max_len; ln++) {
+      const int64_t c = static_cast<int64_t>(acc >> (64 - ln));
+      if (c < limit[ln]) {
+        if (c < first[ln]) return 0;
+        *sym = sym_sorted[static_cast<size_t>(base[ln] + c - first[ln])];
+        return ln;
+      }
+    }
+    return 0;
+  };
+
   struct Cursor {
     uint64_t acc = 0;
-    int nbits = 0;
+    int64_t nbits = 0;
     int64_t r = 0;      // byte cursor
     int64_t oi = 0;     // next output index
     int64_t end = 0;    // one-past-last output index
@@ -285,6 +338,7 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
     cu.r = static_cast<int64_t>(bit >> 3);
     cu.acc = 0;
     cu.nbits = 0;
+    if (cu.r > comp_len) { err = true; cu.r = comp_len; return; }
     const int drop = static_cast<int>(bit & 7u);
     // preload one byte and discard the leading bits of the sub-block's byte
     if (cu.r < comp_len) {
@@ -295,98 +349,141 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
     cu.nbits -= drop;
   };
 
-  auto refill = [&](Cursor& cu) {
-    while (cu.nbits <= 32) {
-      if (cu.r + 4 <= comp_len) {
-        uint32_t v;
-        std::memcpy(&v, comp + cu.r, 4);
-        cu.acc |= static_cast<uint64_t>(__builtin_bswap32(v)) << (32 - cu.nbits);
-        cu.r += 4;
-        cu.nbits += 32;
-      } else if (cu.r < comp_len) {
-        cu.acc |= static_cast<uint64_t>(comp[cu.r++]) << (56 - cu.nbits);
-        cu.nbits += 8;
-      } else {
-        break;
-      }
-    }
-  };
-
-  // decode 1-2 symbols via the pair table; sym2 is written unconditionally
-  // (callers provide +1 byte of slack past out[n-1]); returns 0 on error.
-  // allow_pair=false near a cursor's span end (never emit past `end`).
-  auto step = [&](Cursor& cu, bool allow_pair) -> int {
-    const uint32_t e = pt[static_cast<uint32_t>(cu.acc >> 48)];
-    if (e != ESCAPE) {
-      const int cnt0 = static_cast<int>((e >> 16) & 3u);
-      const int use_pair = (cnt0 == 2) & static_cast<int>(allow_pair);
-      out[cu.oi] = static_cast<uint8_t>(e & 0xFF);
-      out[cu.oi + 1] = static_cast<uint8_t>((e >> 8) & 0xFF);
-      int l = static_cast<int>(e >> 18);
-      if (!use_pair && cnt0 == 2) {
-        // take only the first symbol: recover its length from the stream
-        // via the single-symbol canonical tables
-        l = 0;
-        for (int ln = 1; ln <= max_len; ln++) {
-          const int64_t c = static_cast<int64_t>(cu.acc >> (64 - ln));
-          if (counts[ln] && c < limit[ln]) { l = ln; break; }
+  // Careful drain: full refill, exactly one symbol per step, never writes
+  // past `end`, bounds-checked for corrupt streams.
+  auto drain = [&](Cursor& cu) {
+    while (cu.oi < cu.end) {
+      while (cu.nbits <= 32) {  // word refill + byte-wise tail
+        if (cu.r + 4 <= comp_len) {
+          uint32_t v;
+          std::memcpy(&v, comp + cu.r, 4);
+          cu.acc |= static_cast<uint64_t>(__builtin_bswap32(v)) << (32 - cu.nbits);
+          cu.r += 4;
+          cu.nbits += 32;
+        } else if (cu.r < comp_len) {
+          cu.acc |= static_cast<uint64_t>(comp[cu.r++]) << (56 - cu.nbits);
+          cu.nbits += 8;
+        } else {
+          break;
         }
-        if (l == 0) return 0;
-        cu.oi += 1;
-      } else {
-        cu.oi += 1 + use_pair;
       }
+      const uint16_t e = ST[static_cast<uint32_t>(cu.acc >> 48)];
+      int l;
+      uint8_t sym;
+      if (e != 0xFFFF) {
+        l = e >> 8;
+        sym = static_cast<uint8_t>(e & 0xFF);
+      } else {
+        l = long_decode(cu.acc, &sym);
+      }
+      if (l == 0 || l > cu.nbits) { err = true; return; }
+      out[cu.oi++] = sym;
       cu.acc <<= l;
       cu.nbits -= l;
-      return cu.nbits >= 0 ? 1 : 0;
     }
-    // long code: canonical scan 17..max_len
-    int l = 0;
-    uint8_t sym = 0;
-    for (int ln = 17; ln <= max_len; ln++) {
-      const int64_t c = static_cast<int64_t>(cu.acc >> (64 - ln));
-      if (c < limit[ln]) {
-        l = ln;
-        sym = sym_sorted[static_cast<size_t>(base[ln] + c - first[ln])];
-        break;
-      }
-    }
-    if (l == 0 || l > cu.nbits) return 0;
-    out[cu.oi++] = sym;
-    cu.acc <<= l;
-    cu.nbits -= l;
-    return 1;
   };
 
+// One fast step: single conditional 32-bit refill (nbits stays >= 33 after,
+// since a step consumes <= 16 table bits / <= 32 long-code bits), one pair
+// lookup, 1-3 symbols out.  The unconditional out[oi+1]/out[oi+2] stores are
+// safe only under oi+3 <= end, which the callers guarantee.  State lives in the
+// caller's locals so the compiler keeps it in registers.
+#define DCZ_FSTEP(acc, nb, r, oi)                                            \
+  do {                                                                       \
+    if (nb <= 32) {                                                          \
+      uint32_t v_;                                                           \
+      std::memcpy(&v_, comp + (r), 4);                                       \
+      (acc) |= static_cast<uint64_t>(__builtin_bswap32(v_)) << (32 - (nb));  \
+      (r) += 4;                                                              \
+      (nb) += 32;                                                            \
+    }                                                                        \
+    const uint32_t e_ = PT[static_cast<uint32_t>((acc) >> 48)];              \
+    if (__builtin_expect(e_ != ESCAPE, 1)) {                                 \
+      out[(oi)] = static_cast<uint8_t>(e_);                                  \
+      out[(oi) + 1] = static_cast<uint8_t>(e_ >> 8);                         \
+      out[(oi) + 2] = static_cast<uint8_t>(e_ >> 16);                        \
+      (oi) += (e_ >> 24) & 3u;                                               \
+      const int l_ = static_cast<int>(e_ >> 26);                             \
+      (acc) <<= l_;                                                          \
+      (nb) -= l_;                                                            \
+    } else {                                                                 \
+      uint8_t sym_;                                                          \
+      const int l_ = long_decode((acc), &sym_);                              \
+      if (l_ == 0 || l_ > (nb)) {                                            \
+        err = true;                                                          \
+      } else {                                                               \
+        out[(oi)++] = sym_;                                                  \
+        (acc) <<= l_;                                                        \
+        (nb) -= l_;                                                          \
+      }                                                                      \
+    }                                                                        \
+  } while (0)
+
   constexpr int W = 4;
-  // contiguous spans of whole sub-blocks per cursor
-  const int64_t blocks_per = (ngaps + W - 1) / W;
+  // contiguous spans of whole sub-blocks per cursor, balanced split so no
+  // cursor is empty when ngaps >= W (an empty cursor would pin the joint
+  // phase's per-block iteration budget at zero)
   Cursor cur[W];
-  int active = 0;
   for (int k = 0; k < W; k++) {
-    const int64_t b0 = k * blocks_per;
-    if (b0 >= ngaps) { cur[k].oi = cur[k].end = 0; continue; }
-    const int64_t b1 = b0 + blocks_per < ngaps ? b0 + blocks_per : ngaps;
+    const int64_t b0 = k * ngaps / W;
+    const int64_t b1 = (k + 1) * ngaps / W;
+    if (b0 >= b1) { cur[k].oi = cur[k].end = 0; continue; }
     init_cursor(cur[k], b0);
     cur[k].oi = b0 * subblock;
     cur[k].end = b1 * subblock < n_symbols ? b1 * subblock : n_symbols;
-    active++;
   }
-  (void)active;
-  // joint loop: 4 independent decode chains per iteration (pairs allowed
-  // while >= 2 symbols remain in a cursor's span)
-  while (true) {
-    bool all_done = true;
-    bool any_err = false;
-    for (int k = 0; k < W; k++) {
-      if (cur[k].oi >= cur[k].end) continue;
-      all_done = false;
-      refill(cur[k]);
-      if (step(cur[k], cur[k].oi + 1 < cur[k].end) == 0) any_err = true;
+  if (err) return -3;
+
+  if (ngaps >= W) {
+    // Joint fast phase: all four cursors advance in lockstep with their
+    // state in registers.  Per block, T is the largest iteration count for
+    // which every step is check-free: each iteration emits <= 3 symbols
+    // (oi+3 <= end holds for T <= (end-oi)/3) and reads <= 4 bytes
+    // (r+4 <= comp_len holds for T <= (comp_len-r)/4).
+    uint64_t a0 = cur[0].acc, a1 = cur[1].acc, a2 = cur[2].acc, a3 = cur[3].acc;
+    int64_t n0 = cur[0].nbits, n1 = cur[1].nbits, n2 = cur[2].nbits, n3 = cur[3].nbits;
+    int64_t r0 = cur[0].r, r1 = cur[1].r, r2 = cur[2].r, r3 = cur[3].r;
+    int64_t o0 = cur[0].oi, o1 = cur[1].oi, o2 = cur[2].oi, o3 = cur[3].oi;
+    const int64_t e0 = cur[0].end, e1 = cur[1].end, e2 = cur[2].end, e3 = cur[3].end;
+    while (!err) {
+      int64_t T = (e0 - o0) / 3;
+      int64_t t1 = (e1 - o1) / 3, t2 = (e2 - o2) / 3, t3 = (e3 - o3) / 3;
+      if (t1 < T) T = t1;
+      if (t2 < T) T = t2;
+      if (t3 < T) T = t3;
+      int64_t s0 = (comp_len - r0) >> 2, s1 = (comp_len - r1) >> 2;
+      int64_t s2 = (comp_len - r2) >> 2, s3 = (comp_len - r3) >> 2;
+      if (s0 < T) T = s0;
+      if (s1 < T) T = s1;
+      if (s2 < T) T = s2;
+      if (s3 < T) T = s3;
+      if (T <= 0) break;
+      for (int64_t t = 0; t < T; t++) {
+        DCZ_FSTEP(a0, n0, r0, o0);
+        DCZ_FSTEP(a1, n1, r1, o1);
+        DCZ_FSTEP(a2, n2, r2, o2);
+        DCZ_FSTEP(a3, n3, r3, o3);
+      }
     }
-    if (any_err) return -1;
-    if (all_done) break;
+    cur[0] = {a0, n0, r0, o0, e0};
+    cur[1] = {a1, n1, r1, o1, e1};
+    cur[2] = {a2, n2, r2, o2, e2};
+    cur[3] = {a3, n3, r3, o3, e3};
+    if (err) return -1;
   }
+  // Tails (and the whole input when ngaps < W): per-cursor fast loop with
+  // per-step bounds, then the careful drain for the last <= 2 symbols and
+  // the byte-wise stream tail.
+  for (int k = 0; k < W; k++) {
+    Cursor& cu = cur[k];
+    while (!err && cu.oi + 3 <= cu.end && cu.r + 4 <= comp_len) {
+      DCZ_FSTEP(cu.acc, cu.nbits, cu.r, cu.oi);
+    }
+    if (err) return -1;
+    drain(cu);
+    if (err) return -1;
+  }
+#undef DCZ_FSTEP
   return 0;
 }
 

@@ -128,12 +128,11 @@ def encode(
     lengths32 = np.ascontiguousarray(lengths, dtype=np.int32)
     codes32 = np.ascontiguousarray(codes, dtype=np.uint32)
     if nbits is None:
-        nbits = int(
-            np.bincount(data, minlength=256).astype(np.int64)
-            @ lengths32.astype(np.int64)
-        )
+        nbits = int(histogram(data) @ lengths32.astype(np.int64))
     size = (nbits + 7) // 8
     out = np.empty(size + 8, dtype=np.uint8)  # +8: encoder's branchless-store slack
+    # returns zero-copy memoryviews (callers write/hash/compare them; an
+    # explicit bytes() is one call away for anyone who needs ownership)
     if subblock > 0:
         ngaps = (data.size + subblock - 1) // subblock
         gaps = np.zeros(max(ngaps, 1), dtype=np.uint32)
@@ -143,11 +142,11 @@ def encode(
         )
         if w != size:
             raise RuntimeError(f"native encode size mismatch: {w} != {size}")
-        return out[:size].tobytes(), gaps[:ngaps]
+        return out[:size].data, gaps[:ngaps]
     w = lib.dcz_encode(_ptr(data), data.size, _ptr(lengths32), _ptr(codes32), _ptr(out), out.size)
     if w != size:
         raise RuntimeError(f"native encode size mismatch: {w} != {size}")
-    return out[:size].tobytes()
+    return out[:size].data
 
 
 def decode_gaps(

@@ -53,7 +53,7 @@ class CpuChunkCodec(ChunkCodec):
     def encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
         n = data.size
         with metrics.timed(Stage.CHECKSUM_COMPUTE, n):
-            sha = compute_sha256(data.tobytes())
+            sha = compute_sha256(data)  # hashlib takes the buffer, no copy
         with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
             hist = self.freq.compute_histogram(data)
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
@@ -70,9 +70,9 @@ class CpuChunkCodec(ChunkCodec):
             # always Huffman-encodes and expands on such data
             # (docs: random ⇒ 100%+, e.g. its 3.05 GB video run).
             with metrics.timed(Stage.ENCODING, n):
-                return EncodedChunk(
-                    data.tobytes(), np.zeros(256, np.int32), sha, None
-                )
+                # pass the view through: the pipeline writes it while the
+                # source mmap is still open
+                return EncodedChunk(data, np.zeros(256, np.int32), sha, None)
         with metrics.timed(Stage.ENCODING, n):
             if native.is_available():
                 if v2:

@@ -212,20 +212,23 @@ class ChunkedPipeline:
                     n = min(chunk_size, file_size - offset)
                     with metrics.timed(Stage.FILE_IO, n):
                         if mm is not None:
-                            raw = mm[offset : offset + n]  # lock-free, page-cache backed
+                            # zero-copy view over the page cache (an mm[a:b]
+                            # slice would copy); faults resolve inside the
+                            # GIL-free native codec
+                            data = np.frombuffer(mm, dtype=np.uint8, count=n, offset=offset)
                         else:
                             with read_lock:
                                 infile.seek(offset)
-                                raw = infile.read(n)
-                    data = np.frombuffer(raw, dtype=np.uint8)
+                                data = np.frombuffer(infile.read(n), dtype=np.uint8)
                     enc = self.codec.encode_chunk(data, metrics)
                     return index, offset, n, enc
 
                 futures = [
                     self._executor.submit(job, i) for i in range(resume_from, num_chunks)
                 ]
-                for fut in futures:
+                for fi, fut in enumerate(futures):
                     index, offset, n, enc = fut.result()
+                    futures[fi] = None  # release the chunk's buffer views
                     with metrics.timed(Stage.FILE_IO, len(enc.payload)):
                         out.write(enc.payload)
                     meta = ct.ChunkMeta(
@@ -233,6 +236,7 @@ class ChunkedPipeline:
                         enc.sha256, enc.code_lengths, enc.gap_bits,
                     )
                     compressed_offset += len(enc.payload)
+                    enc = None  # payloads may be zero-copy views over `mm`
                     done.append(meta)
                     _append_partial_chunk(partial_fp, meta)
                     if progress is not None:
@@ -256,7 +260,12 @@ class ChunkedPipeline:
             os.remove(_partial_path(output_path))
         finally:
             if mm is not None:
-                mm.close()
+                try:
+                    mm.close()
+                except BufferError:
+                    # a chunk view escaped (e.g. an exception mid-stream);
+                    # GC closes the map once the last view dies
+                    pass
             infile.close()
             if partial_fp is not None:
                 partial_fp.close()

@@ -36,8 +36,6 @@ void dcz_histogram(const uint8_t* data, int64_t n, int64_t* out256) {
 
 // Encode n input bytes; returns number of output bytes written, or -1 if
 // out_cap insufficient. Exact output size = ceil(sum(lengths[data]) / 8).
-// Hot loop: one fused (len<<32|code) table load per symbol, 32-bit
-// byte-swapped flushes (the reference's BitOutputStream shifts bit-by-bit).
 int64_t dcz_encode(const uint8_t* data, int64_t n, const int32_t* lengths,
                    const uint32_t* codes, uint8_t* out, int64_t out_cap) {
   // thin wrapper kept for ABI stability; no gap emission
@@ -50,45 +48,74 @@ int64_t dcz_encode(const uint8_t* data, int64_t n, const int32_t* lengths,
 // Encode + optionally record the absolute bit offset of every `subblock`-th
 // symbol (the format-v2 gap array — free here, the bit position is the
 // encoder's own running counter).
+//
+// Hot-loop design.  Per-symbol state is one fused table entry (codeword
+// LEFT-aligned at bit 63, length in the low 6 bits) OR-shifted into a
+// 64-bit accumulator, with a speculative 4-byte byte-swapped store each
+// step (later stores overwrite; callers provide 8 bytes of slack).  The
+// throughput limit is the accumulator dependency chain, so when every code
+// fits 16 bits (true for all but pathologically skewed byte histograms) two
+// codewords are pre-merged OFF the chain (merged = c1 | c2 >> len1 — both
+// table loads and the merge are independent of acc/nbits), halving the
+// chained ops per symbol: measured ~1.5x over the one-symbol loop.
+// Interleaved multi-cursor variants (the decoder's trick) measured SLOWER
+// here — the table is L1-resident, the OoO core already overlaps adjacent
+// iterations, and extra cursors only add register pressure.
 int64_t dcz_encode_gaps(const uint8_t* data, int64_t n, const int32_t* lengths,
                         const uint32_t* codes, uint8_t* out, int64_t out_cap,
                         uint32_t* gaps, int64_t subblock) {
-  // Per-symbol fused entry: codeword LEFT-aligned at bit 63 with the length
-  // packed in the low 6 bits (codes are <= 32 bits so bits 0..31 of the
-  // aligned word are zero; bit 5..0 are free).
   uint64_t tbl[256];
+  int max_len = 0;
   for (int i = 0; i < 256; i++) {
     const int l = lengths[i];
+    if (l > max_len) max_len = l;
     const uint64_t left =
         l > 0 ? static_cast<uint64_t>(codes[i]) << (64 - l) : 0ull;
     tbl[i] = left | static_cast<uint64_t>(l);
   }
   uint64_t acc = 0;
-  int nbits = 0;  // bits held in acc, left-aligned at bit 63 (always < 32)
+  int64_t nbits = 0;  // bits held in acc, left-aligned at bit 63 (always < 32)
   int64_t w = 0;
-  // Branchless flush: unconditionally store the next 4 bytes every symbol
-  // (later stores overwrite speculative garbage), advance only when a full
-  // 32-bit block is ready.  Caller must provide >= 8 bytes of slack beyond
-  // the exact output size (see the -2 sentinel check below).
   const int64_t guard = out_cap - 8;
   // Outer loop per sub-block keeps gap emission out of the hot loop: the
   // running bit position is (8w + nbits) — no extra per-symbol state.
   const int64_t stride = (gaps != nullptr && subblock > 0) ? subblock : n;
   int64_t gi = 0;
+  // Pair merging is valid when a merged pair (<= 2*max_len bits) plus the
+  // accumulator backlog (< 32 bits) cannot overflow 64 bits.
+  const bool pairs_ok = max_len <= 16;
   for (int64_t b0 = 0; b0 < n || (b0 == 0 && n == 0); b0 += stride) {
     if (gaps != nullptr) {
       gaps[gi++] = static_cast<uint32_t>((static_cast<uint64_t>(w) << 3) + nbits);
     }
     const int64_t b1 = b0 + stride < n ? b0 + stride : n;
-    for (int64_t i = b0; i < b1; i++) {
+    int64_t i = b0;
+    if (pairs_ok) {
+      for (; i + 2 <= b1; i += 2) {
+        const uint64_t e1 = tbl[data[i]];
+        const uint64_t e2 = tbl[data[i + 1]];
+        const int64_t l1 = static_cast<int64_t>(e1 & 63u);
+        const uint64_t merged = (e1 & ~63ull) | ((e2 & ~63ull) >> l1);
+        acc |= merged >> nbits;
+        nbits += l1 + static_cast<int64_t>(e2 & 63u);
+        if (w > guard) return -1;
+        const uint32_t blk = __builtin_bswap32(static_cast<uint32_t>(acc >> 32));
+        std::memcpy(out + w, &blk, 4);
+        const int64_t full = nbits >> 5;  // 0 or 1 (nbits < 64)
+        w += full << 2;
+        acc <<= (full << 5);
+        nbits -= full << 5;
+      }
+    }
+    for (; i < b1; i++) {  // odd tail, or deep-code (> 16-bit) streams
       const uint64_t e = tbl[data[i]];
       acc |= (e & ~63ull) >> nbits;
-      nbits += static_cast<int>(e & 63u);
+      nbits += static_cast<int64_t>(e & 63u);
       if (w > guard) return -1;
       const uint32_t blk = __builtin_bswap32(static_cast<uint32_t>(acc >> 32));
       std::memcpy(out + w, &blk, 4);
-      const int full = nbits >> 5;  // 0 or 1
-      w += static_cast<int64_t>(full) << 2;
+      const int64_t full = nbits >> 5;  // 0 or 1
+      w += full << 2;
       acc <<= (full << 5);
       nbits -= full << 5;
     }

@@ -130,105 +130,26 @@ int64_t dcz_encode_gaps(const uint8_t* data, int64_t n, const int32_t* lengths,
   return w;
 }
 
-// Canonical table-based decode. Returns 0 on success, -1 on invalid code,
-// -2 on invalid code-length table.
+// Canonical table-based decode (format v1 / whole-stream path).  Returns 0
+// on success, -1 on invalid code, -2 on invalid code-length table.
+// Implemented as a single-cursor run of the gap decoder below, inheriting
+// its multi-symbol (1-3 codewords per 16-bit peek) lookup table and fast
+// loop — ~1.5-2x the classic one-symbol table walk.
 int64_t dcz_decode(const uint8_t* comp, int64_t comp_len, int64_t n_symbols,
                    const int32_t* lengths, uint8_t* out) {
-  if (n_symbols == 0) return 0;
-  int max_len = 0, min_len = 64;
-  int64_t counts[40] = {0};
-  for (int s = 0; s < 256; s++) {
-    const int l = lengths[s];
-    if (l < 0 || l > 32) return -2;
-    if (l > 0) {
-      counts[l]++;
-      if (l > max_len) max_len = l;
-      if (l < min_len) min_len = l;
-    }
-  }
-  if (max_len == 0) return -2;
-
-  // Canonical first-code per length and per-length symbol bases.
-  int64_t first[40] = {0}, base[40] = {0}, limit[40] = {0};
-  int64_t code = 0, nsyms = 0;
-  for (int l = 1; l <= max_len; l++) {
-    code = (code + counts[l - 1]) << 1;
-    first[l] = code;
-    base[l] = nsyms;
-    nsyms += counts[l];
-    limit[l] = first[l] + counts[l];
-  }
-  // Symbols sorted by (length, symbol).
-  std::vector<uint8_t> sym_sorted(static_cast<size_t>(nsyms));
-  {
-    int64_t fill[40];
-    std::memcpy(fill, base, sizeof(fill));
+  extern int64_t dcz_decode_gaps(const uint8_t*, int64_t, int64_t,
+                                 const int32_t*, const uint32_t*, int64_t,
+                                 int64_t, uint8_t*);
+  if (n_symbols == 0) {
+    // preserve the table-validation contract on empty streams
     for (int s = 0; s < 256; s++) {
-      const int l = lengths[s];
-      if (l > 0) sym_sorted[static_cast<size_t>(fill[l]++)] = static_cast<uint8_t>(s);
+      if (lengths[s] < 0 || lengths[s] > 32) return -2;
     }
+    return 0;
   }
-
-  const int TB = max_len < 16 ? max_len : 16;  // primary table bits
-  std::vector<uint16_t> table(static_cast<size_t>(1) << TB, 0xFFFF);
-  for (int l = 1; l <= TB; l++) {
-    for (int64_t c = first[l]; c < limit[l]; c++) {
-      const uint8_t sym = sym_sorted[static_cast<size_t>(base[l] + c - first[l])];
-      const uint64_t start = static_cast<uint64_t>(c) << (TB - l);
-      const uint64_t span = static_cast<uint64_t>(1) << (TB - l);
-      const uint16_t entry = static_cast<uint16_t>((l << 8) | sym);
-      for (uint64_t k = 0; k < span; k++) table[start + k] = entry;
-    }
-  }
-
-  uint64_t acc = 0;  // bits left-aligned at bit 63
-  int nbits = 0;
-  int64_t r = 0;  // input byte cursor
-  for (int64_t i = 0; i < n_symbols; i++) {
-    while (nbits <= 32) {  // word-wise big-endian refill, byte-wise tail
-      if (r + 4 <= comp_len) {
-        uint32_t v;
-        std::memcpy(&v, comp + r, 4);
-        acc |= static_cast<uint64_t>(__builtin_bswap32(v)) << (32 - nbits);
-        r += 4;
-        nbits += 32;
-      } else if (r < comp_len) {
-        acc |= static_cast<uint64_t>(comp[r++]) << (56 - nbits);
-        nbits += 8;
-      } else {
-        break;
-      }
-    }
-    const uint32_t peek = static_cast<uint32_t>(acc >> (64 - TB));
-    const uint16_t e = table[peek];
-    int l;
-    uint8_t sym;
-    if (e != 0xFFFF) {
-      l = e >> 8;
-      sym = static_cast<uint8_t>(e & 0xFF);
-    } else {
-      // long code: canonical scan TB+1..max_len.  The lower bound guards
-      // corrupt streams: c < first[ln] would index sym_sorted negatively
-      // (valid streams always satisfy first <= c when c < limit).
-      l = 0;
-      sym = 0;
-      for (int ln = TB + 1; ln <= max_len; ln++) {
-        const int64_t c = static_cast<int64_t>(acc >> (64 - ln));
-        if (c < limit[ln]) {
-          if (c < first[ln]) return -1;
-          l = ln;
-          sym = sym_sorted[static_cast<size_t>(base[ln] + c - first[ln])];
-          break;
-        }
-      }
-      if (l == 0 || l > nbits) return -1;
-    }
-    out[i] = sym;
-    acc <<= l;
-    nbits -= l;
-    if (nbits < 0) return -1;  // ran past end of stream
-  }
-  return 0;
+  const uint32_t gap0 = 0;
+  return dcz_decode_gaps(comp, comp_len, n_symbols, lengths, &gap0, 1,
+                         n_symbols, out);
 }
 
 // Gap-array parallel decode (format v2): sub-block entry bit offsets let

@@ -291,6 +291,7 @@ class TpuChunkCodec(ChunkCodec):
             and meta.gap_bits is not None
             and meta.gap_bits.size > 0
             and header.subblock_symbols > 0
+            and header.subblock_symbols % 2 == 0  # device decodes 2 syms/step
             and 0 < max_code_len(meta.code_lengths) <= TABLE_BITS
         )
         if not use_device:

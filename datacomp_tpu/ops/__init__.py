@@ -25,7 +25,7 @@ from .encode import encode_device, words_to_bytes
 from .encode_merge import encode_device_merge
 from .decode import (
     TABLE_BITS,
-    build_decode_table,
+    build_decode_tables,
     decode_device,
     max_code_len,
     payload_to_words,
@@ -39,7 +39,7 @@ __all__ = [
     "encode_device_merge",
     "words_to_bytes",
     "TABLE_BITS",
-    "build_decode_table",
+    "build_decode_tables",
     "decode_device",
     "max_code_len",
     "payload_to_words",

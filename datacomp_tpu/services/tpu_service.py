@@ -31,7 +31,7 @@ from ..core import container as ct, huffman
 from ..models import Stage, StageMetrics
 from ..ops import (
     TABLE_BITS,
-    build_decode_table,
+    build_decode_tables,
     decode_device,
     device_codebook,
     encode_device_merge,
@@ -188,7 +188,7 @@ class TpuChunkCodec(ChunkCodec):
 
         n = data.size
         with metrics.timed(Stage.CHECKSUM_COMPUTE, n):
-            sha = compute_sha256(data.tobytes())
+            sha = compute_sha256(data)  # hashlib takes the buffer, no copy
         if n == 0:
             lengths = np.zeros(256, np.int32)
             return EncodedChunk(b"", lengths, sha, None)
@@ -304,7 +304,7 @@ class TpuChunkCodec(ChunkCodec):
         s = header.subblock_symbols
         nsub_static = (header.chunk_size_bytes + s - 1) // s
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD):
-            table = build_decode_table(meta.code_lengths)
+            limits, adj, sym = build_decode_tables(meta.code_lengths)
         with metrics.timed(Stage.DECODING, meta.original_size):
             # pad stream + gaps to static shapes
             words = payload_to_words(payload)
@@ -319,7 +319,9 @@ class TpuChunkCodec(ChunkCodec):
             out = decode_device(
                 jax.device_put(wpad, dev),
                 jax.device_put(gpad, dev),
-                jax.device_put(table, dev),
+                jax.device_put(limits, dev),
+                jax.device_put(adj, dev),
+                jax.device_put(sym, dev),
                 s,
                 nsub_static,
             )

@@ -14,7 +14,7 @@ from datacomp_tpu.core.huffman import (  # noqa: E402
     validate_lengths,
 )
 from datacomp_tpu.ops import (  # noqa: E402
-    build_decode_table,
+    build_decode_tables,
     decode_device,
     device_canonical_codes,
     device_code_lengths,
@@ -113,10 +113,12 @@ class TestDecodeDevice:
         Mpad = 64
         gpad = np.zeros(Mpad, np.uint32)
         gpad[: gaps.size] = gaps
+        limits, adj, sym = build_decode_tables(lens)
         out = np.asarray(
             decode_device(
                 jnp.asarray(payload_to_words(enc)), jnp.asarray(gpad),
-                jnp.asarray(build_decode_table(lens)), S, Mpad,
+                jnp.asarray(limits), jnp.asarray(adj), jnp.asarray(sym),
+                S, Mpad,
             )
         )
         assert np.array_equal(out[: data.size], data)
@@ -130,7 +132,7 @@ class TestDecodeDevice:
         lens, _ = build_codebook(f)
         assert lens.max() > 16
         with pytest.raises(ValueError):
-            build_decode_table(lens)
+            build_decode_tables(lens)
 
 
 class TestEncodeMerge:

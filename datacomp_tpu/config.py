@@ -28,7 +28,10 @@ class CompressionConfig:
     cpu_threads: int = 0  # 0 = auto (clamp(cores, 2, 8), reference parity)
     use_memory_mapped_io: bool = True
     chunking_threshold_mb: int = 100  # parity knob; chunking is always on
-    subblock_symbols: int = 4096  # v2 gap-array granularity (symbols per sub-block)
+    # v2 gap-array granularity (symbols per sub-block).  4032 = 2^6*3^2*7:
+    # divisible by 32 (device-encode group size) and by 2/3/4 so the device
+    # decoder can pick any symbols-per-refill rate the codebook depth allows.
+    subblock_symbols: int = 4032
     format_version: int = 1  # 1 = reference-bit-compatible, 2 = +gap arrays
     codebook_mode: str = "java"  # "java" = bit-exact reference tie-breaks, "fast"
 

@@ -29,6 +29,7 @@ from .decode import (
     decode_device,
     max_code_len,
     payload_to_words,
+    syms_per_refill,
 )
 from .codebook import device_canonical_codes, device_code_lengths, device_codebook
 
@@ -43,6 +44,7 @@ __all__ = [
     "decode_device",
     "max_code_len",
     "payload_to_words",
+    "syms_per_refill",
     "device_canonical_codes",
     "device_code_lengths",
     "device_codebook",

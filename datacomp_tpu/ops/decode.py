@@ -70,25 +70,46 @@ def max_code_len(lengths: np.ndarray) -> int:
     return int(used.max()) if used.size else 0
 
 
-@functools.partial(jax.jit, static_argnames=("subblock", "num_subblocks", "table_bits"))
+def syms_per_refill(max_len: int, subblock: int) -> int:
+    """Largest symbols-per-step the codebook depth and sub-block size allow.
+
+    The single 32-bit refill per step must cover worst-case consumption
+    (``k * max_len <= 32`` keeps the bit budget non-draining), and the scan
+    length must divide the sub-block.  Correctness with the shared 16-bit
+    window peek needs >= max_len valid bits before each in-step decode:
+    33 - (k-1) * max_len >= max_len follows from the same bound."""
+    for k in (4, 3, 2):
+        if k * max(max_len, 1) <= 32 and subblock % k == 0:
+            return k
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("subblock", "num_subblocks", "syms_per_step", "table_bits"),
+)
 def decode_device(
     words: jnp.ndarray,      # uint32[W+2] compressed stream as big-endian-bit words (2 pad words)
     gaps: jnp.ndarray,       # uint32[num_subblocks] absolute start bit per sub-block
     limits: jnp.ndarray,     # int32[16] from build_decode_tables
     adj: jnp.ndarray,        # int32[16]
     sym: jnp.ndarray,        # int32[256]
-    subblock: int,           # symbols per sub-block (static, even)
+    subblock: int,           # symbols per sub-block (static)
     num_subblocks: int,      # static padded sub-block count
+    syms_per_step: int = 2,  # static; use syms_per_refill(max_len, subblock)
     table_bits: int = TABLE_BITS,
 ):
     """Decode ``num_subblocks x subblock`` symbols → uint8[num_subblocks*subblock].
 
     Sub-blocks beyond the real data decode garbage from padded state; callers
     slice to the true symbol count.  Measured on a v5e chip: 112 ms / 16 MB
-    chunk (149 MB/s) vs 230 ms for a table-gather formulation — the word
-    refill is the only remaining gather.
+    chunk (149 MB/s) at 2 symbols/step vs 230 ms for a table-gather
+    formulation — the word refill is the only remaining gather, so shallow
+    codebooks that allow 3-4 symbols per refill cut it further.
     """
-    assert subblock % 2 == 0, "subblock must be even (2 symbols per step)"
+    k = syms_per_step
+    assert subblock % k == 0, "symbols-per-step must divide the sub-block"
+    assert 1 <= k <= 4, "invalid syms_per_step"
     nwords = words.shape[0]
     u32 = jnp.uint32
 
@@ -132,8 +153,10 @@ def decode_device(
 
     def step(state, _):
         hi, lo, nb, wi = state
-        hi, lo, nb, s1 = decode1(hi, lo, nb)
-        hi, lo, nb, s2 = decode1(hi, lo, nb)
+        outs = []
+        for _j in range(k):
+            hi, lo, nb, s_j = decode1(hi, lo, nb)
+            outs.append(s_j)
         # masked single-word refill: place the next word at bit offset nb
         w = words[jnp.clip(wi, 0, nwords - 1)]
         need = nb <= 32
@@ -144,11 +167,11 @@ def decode_device(
         lo = jnp.where(need, lo | lo_add, lo)
         nb = nb + jnp.where(need, 32, 0)
         wi = wi + need.astype(jnp.int32)
-        return (hi, lo, nb, wi), (s1, s2)
+        return (hi, lo, nb, wi), tuple(outs)
 
-    _, (s1, s2) = jax.lax.scan(step, (hi0, lo0, nb0, wi), None, length=subblock // 2)
-    # (steps, NL) pairs → per-lane sequential symbol order
-    syms = jnp.stack([s1, s2], axis=1)           # (steps, 2, NL)
+    _, outs = jax.lax.scan(step, (hi0, lo0, nb0, wi), None, length=subblock // k)
+    # (steps, NL) tuples → per-lane sequential symbol order
+    syms = jnp.stack(outs, axis=1)               # (steps, k, NL)
     return syms.transpose(2, 0, 1).reshape(num_subblocks * subblock)
 
 

@@ -38,6 +38,7 @@ from ..ops import (
     histogram_device,
     max_code_len,
     payload_to_words,
+    syms_per_refill,
     words_to_bytes,
 )
 from ..utils.checksum import compute_sha256
@@ -291,7 +292,6 @@ class TpuChunkCodec(ChunkCodec):
             and meta.gap_bits is not None
             and meta.gap_bits.size > 0
             and header.subblock_symbols > 0
-            and header.subblock_symbols % 2 == 0  # device decodes 2 syms/step
             and 0 < max_code_len(meta.code_lengths) <= TABLE_BITS
         )
         if not use_device:
@@ -324,6 +324,7 @@ class TpuChunkCodec(ChunkCodec):
                 jax.device_put(sym, dev),
                 s,
                 nsub_static,
+                syms_per_step=syms_per_refill(max_code_len(meta.code_lengths), s),
             )
             return np.asarray(out)[: meta.original_size]
 

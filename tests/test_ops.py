@@ -114,14 +114,23 @@ class TestDecodeDevice:
         gpad = np.zeros(Mpad, np.uint32)
         gpad[: gaps.size] = gaps
         limits, adj, sym = build_decode_tables(lens)
-        out = np.asarray(
-            decode_device(
-                jnp.asarray(payload_to_words(enc)), jnp.asarray(gpad),
-                jnp.asarray(limits), jnp.asarray(adj), jnp.asarray(sym),
-                S, Mpad,
+        from datacomp_tpu.ops import syms_per_refill
+        maxlen = int(lens.max())
+        tried = set()
+        for k in {1, 2, syms_per_refill(maxlen, S)}:
+            if k * maxlen > 32 and k > 1:
+                continue  # refill cannot sustain worst-case consumption
+            if S % k or k in tried:
+                continue
+            tried.add(k)
+            out = np.asarray(
+                decode_device(
+                    jnp.asarray(payload_to_words(enc)), jnp.asarray(gpad),
+                    jnp.asarray(limits), jnp.asarray(adj), jnp.asarray(sym),
+                    S, Mpad, syms_per_step=k,
+                )
             )
-        )
-        assert np.array_equal(out[: data.size], data)
+            assert np.array_equal(out[: data.size], data), f"k={k} mismatch"
 
     def test_table_rejects_deep_codes(self):
         f = np.zeros(256, np.int64)

@@ -168,7 +168,7 @@ chunk-size-mb = 16
 io-buffer-size-kb = 256
 cpu-threads = 0            # 0 = auto (clamp(cores, 2, 8))
 use-memory-mapped-io = true
-subblock-symbols = 4096    # v2 gap-array granularity
+subblock-symbols = 4032    # v2 gap-array granularity (divisible by 32 and by 2-4)
 format-version = 1         # 1 = reference-bit-compatible, 2 = +gap arrays
 codebook-mode = "java"     # java | fast | device
 

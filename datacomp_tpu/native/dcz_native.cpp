@@ -207,12 +207,10 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
   // 16-bit MULTI-symbol table: each entry decodes 1, 2, or 3 complete
   // codewords per lookup (whichever fit in the 16 peeked bits).
   // layout: sym1 | sym2<<8 | sym3<<16 | count<<24 | totalLen<<26 ;
-  // ESCAPE = long code (> 16 bits).  A parallel SINGLE table
-  // (len<<8|sym, 0xFFFF escape) serves the careful drain path, which must
-  // emit exactly one symbol per step.
+  // ESCAPE = long code (> 16 bits).  The careful drain path (a handful of
+  // symbols per cursor) uses the canonical scan instead of a table.
   constexpr uint32_t ESCAPE = 0xFFFFFFFFu;
   std::vector<uint32_t> pt(static_cast<size_t>(1) << 16, ESCAPE);
-  std::vector<uint16_t> st(static_cast<size_t>(1) << 16, 0xFFFF);
   const int L1 = max_len < 16 ? max_len : 16;
   for (int l1 = 1; l1 <= L1; l1++) {
     for (int64_t c1 = first[l1]; c1 < limit[l1]; c1++) {
@@ -221,11 +219,7 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
       const uint64_t span1 = static_cast<uint64_t>(1) << (16 - l1);
       const uint32_t e1 = static_cast<uint32_t>(s1) | (1u << 24) |
                           (static_cast<uint32_t>(l1) << 26);
-      const uint16_t se = static_cast<uint16_t>((l1 << 8) | s1);
-      for (uint64_t k = 0; k < span1; k++) {
-        pt[start1 + k] = e1;
-        st[start1 + k] = se;
-      }
+      for (uint64_t k = 0; k < span1; k++) pt[start1 + k] = e1;
       const int rem = 16 - l1;
       for (int l2 = 1; l2 <= rem && l2 <= max_len; l2++) {
         for (int64_t c2 = first[l2]; c2 < limit[l2]; c2++) {
@@ -255,14 +249,14 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
   }
 
   const uint32_t* PT = pt.data();
-  const uint16_t* ST = st.data();
   bool err = false;
 
-  // Long-code decode shared by fast and drain paths; returns symbol length
-  // or 0 on corrupt stream.  Rare by construction (codes > 16 bits), so
-  // kept out of the hot loop.
+  // One-symbol canonical decode shared by the fast loop's long-code escape
+  // (codes > 16 bits — the scan's <= 16 rounds find nothing and fall
+  // through) and the careful drain; returns length or 0 on corrupt stream.
+  // Off the hot path by construction.
   auto long_decode = [&](uint64_t acc, uint8_t* sym) -> int {
-    for (int ln = 17; ln <= max_len; ln++) {
+    for (int ln = 1; ln <= max_len; ln++) {
       const int64_t c = static_cast<int64_t>(acc >> (64 - ln));
       if (c < limit[ln]) {
         if (c < first[ln]) return 0;
@@ -315,15 +309,8 @@ int64_t dcz_decode_gaps(const uint8_t* comp, int64_t comp_len, int64_t n_symbols
           break;
         }
       }
-      const uint16_t e = ST[static_cast<uint32_t>(cu.acc >> 48)];
-      int l;
       uint8_t sym;
-      if (e != 0xFFFF) {
-        l = e >> 8;
-        sym = static_cast<uint8_t>(e & 0xFF);
-      } else {
-        l = long_decode(cu.acc, &sym);
-      }
+      const int l = long_decode(cu.acc, &sym);
       if (l == 0 || l > cu.nbits) { err = true; return; }
       out[cu.oi++] = sym;
       cu.acc <<= l;

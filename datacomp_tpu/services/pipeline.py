@@ -212,10 +212,15 @@ class ChunkedPipeline:
                     n = min(chunk_size, file_size - offset)
                     with metrics.timed(Stage.FILE_IO, n):
                         if mm is not None:
-                            # zero-copy view over the page cache (an mm[a:b]
-                            # slice would copy); faults resolve inside the
-                            # GIL-free native codec
-                            data = np.frombuffer(mm, dtype=np.uint8, count=n, offset=offset)
+                            # one explicit copy pins a consistent per-chunk
+                            # snapshot: the chunk's SHA-256, codebook, payload
+                            # and raw-store bytes must all come from the same
+                            # data even if another process rewrites the input
+                            # mid-compress (a zero-copy view here once let
+                            # sha and payload diverge, bricking the archive)
+                            data = np.frombuffer(
+                                mm, dtype=np.uint8, count=n, offset=offset
+                            ).copy()
                         else:
                             with read_lock:
                                 infile.seek(offset)

@@ -1,0 +1,166 @@
+"""Device-kernel microbenchmarks with hoist-proof slope timing.
+
+Measuring individual XLA programs through a remote-attached TPU is
+treacherous: ``block_until_ready`` only confirms enqueue, the first run of
+every executable pays a program load, and a naive "run K iterations in a
+fori_loop" chain gets loop-invariant-hoisted by XLA so K iterations cost one.
+This module encodes the methodology that survives all three (documented in
+docs/BENCHMARKS.md and CLAUDE.md):
+
+* each chain iteration's input depends on the previous iteration's result
+  through a comparison XLA cannot constant-fold;
+* every (kernel, K) executable is warmed by a full scalar fetch, not
+  ``block_until_ready``;
+* the per-iteration cost is the slope ``(t_K2 - t_K1) / (K2 - K1)``, so
+  dispatch/transfer/sync constants cancel.
+
+Exposed via ``dcz bench --kernels``; runs on any backend (CPU platform in
+tests, the real chip in deployment).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+def _unfoldable_dep(total):
+    """A 0/1 perturbation XLA cannot fold away (the compared value is a
+    runtime int32 whose range the compiler cannot bound)."""
+    import jax.numpy as jnp
+
+    return (total == jnp.int32(-123456789)).astype(jnp.uint8)
+
+
+def run_kernel_bench(
+    size_mb: int = 16,
+    kind: str = "text",
+    subblock: int = 4032,
+    k_points: tuple = (2, 6),
+    repeats: int = 3,
+    kernels: Optional[Iterable[str]] = None,
+) -> Dict[str, dict]:
+    """Slope-time the device kernels on a ``size_mb`` chunk of ``kind`` data.
+
+    Returns ``{kernel: {"ms_per_chunk": float, "mbps": float}}``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..core.bitio import encode_bitstream
+    from ..core.huffman import build_codebook
+    from ..ops import (
+        build_decode_tables,
+        decode_device,
+        device_codebook,
+        encode_device_merge,
+        histogram_device,
+        max_code_len,
+        payload_to_words,
+        syms_per_refill,
+    )
+    from ..utils.testdata import generate_bytes
+
+    n = size_mb << 20
+    data = np.frombuffer(generate_bytes(kind, n), dtype=np.uint8)
+    hist = np.bincount(data, minlength=256).astype(np.int64)
+    lengths, codes = build_codebook(hist)
+    maxlen = max_code_len(lengths)
+    if native.is_available():
+        payload, gaps = native.encode(data, lengths, codes, subblock=subblock)
+        payload = bytes(payload)
+    else:
+        payload = encode_bitstream(data, lengths, codes)
+        ll = lengths.astype(np.int64)[data]
+        gaps = ((np.cumsum(ll) - ll)[::subblock]).astype(np.uint32)
+    nsub = (n + subblock - 1) // subblock
+    words = payload_to_words(payload)
+    limits, adj, sym = build_decode_tables(lengths)
+
+    dev = jax.devices()[0]
+    dd = jax.device_put(data, dev)
+    hd = jax.device_put(hist.astype(np.int32), dev)
+    ld = jax.device_put(lengths.astype(np.int32), dev)
+    cd = jax.device_put(codes.astype(np.uint32), dev)
+    wd = jax.device_put(words.astype(np.uint32), dev)
+    gpad = np.zeros(nsub, np.uint32)
+    gpad[: gaps.size] = gaps
+    gd = jax.device_put(gpad, dev)
+    Ld, Ad, Sd = (jax.device_put(a, dev) for a in (limits, adj, sym))
+    out_words = (max(maxlen, 9) * n + 31) // 32 + 8
+    sps = syms_per_refill(maxlen, subblock)
+
+    def hist_once(x):
+        return histogram_device(x, jnp.int32(n))[1]
+
+    def codebook_once(x):
+        lens_d, codes_d = device_codebook(hd + x[0].astype(jnp.int32))
+        return lens_d[1] + codes_d[1].astype(jnp.int32)
+
+    def encode_once(x):
+        w, tb, g = encode_device_merge(
+            x, jnp.int32(n), ld, cd, out_words,
+            subblock=subblock, max_slots=min(33, maxlen + 2),
+        )
+        return tb
+
+    def decode_once(x):
+        o = decode_device(x, gd, Ld, Ad, Sd, subblock, nsub, syms_per_step=sps)
+        return o.astype(jnp.int32).sum()
+
+    cases = {
+        "histogram": (hist_once, dd, n),
+        "codebook": (codebook_once, dd, None),
+        "encode": (encode_once, dd, n),
+        "decode": (decode_once, wd, n),
+    }
+    if kernels:
+        cases = {k: v for k, v in cases.items() if k in set(kernels)}
+
+    results: Dict[str, dict] = {}
+    for name, (fn, arg, bytes_per) in cases.items():
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(x, k, fn=fn):
+            def body(i, carry):
+                acc, x = carry
+                total = fn(x)
+                return acc + total, x ^ _unfoldable_dep(total).astype(x.dtype)
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), x))
+            return acc
+
+        times = {}
+        for K in k_points:
+            _ = int(chain(arg, k=K))  # warm: scalar fetch forces completion
+            _ = int(chain(arg, k=K))
+            best = float("inf")
+            for _i in range(repeats):
+                t0 = time.perf_counter()
+                _ = int(chain(arg, k=K))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        k1, k2 = min(k_points), max(k_points)
+        per = max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
+        results[name] = {
+            "ms_per_chunk": round(per * 1e3, 3),
+            "mbps": round(bytes_per / 1e6 / per, 1) if bytes_per else None,
+        }
+    return results
+
+
+def format_kernel_results(results: Dict[str, dict], size_mb: int, fmt: str = "console") -> str:
+    if fmt == "json":
+        import json
+
+        return json.dumps({"chunk_mb": size_mb, "kernels": results}, indent=2)
+    lines = ["", f"Device kernel microbenchmarks ({size_mb} MB chunk, slope-timed)", "=" * 60]
+    for name, r in results.items():
+        tp = f"{r['mbps']:10.1f} MB/s" if r["mbps"] else " " * 15
+        lines.append(f"  {name:<12} {r['ms_per_chunk']:10.3f} ms {tp}")
+    lines.append("=" * 60)
+    return "\n".join(lines)

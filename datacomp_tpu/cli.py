@@ -122,6 +122,12 @@ def cmd_resume(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if getattr(args, "kernels", False):
+        from .benchmark.kernels import format_kernel_results, run_kernel_bench
+
+        results = run_kernel_bench(size_mb=args.size_mb, kind=args.kind)
+        print(format_kernel_results(results, args.size_mb, args.format_out))
+        return 0
     from .benchmark.suite import BenchmarkSuite
 
     suite = BenchmarkSuite(load_config())
@@ -276,6 +282,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--input", default=None, help="benchmark input file (default: generated)")
     sp.add_argument("--size-mb", type=int, default=16)
     sp.add_argument("--format-out", choices=["console", "json", "csv"], default="console")
+    sp.add_argument("--kernels", action="store_true",
+                    help="slope-time the device kernels instead of the services")
+    sp.add_argument("--kind", default="text",
+                    choices=["text", "compressible", "skewed", "random"],
+                    help="data kind for --kernels (default text)")
     sp.set_defaults(func=cmd_bench)
 
     sp = sub.add_parser("gen", help="generate deterministic test data")

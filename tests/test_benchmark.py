@@ -76,3 +76,20 @@ def test_metrics_models():
     assert seen == [m]
     assert ms.get_last() is m
     assert ms.average_throughput_mbps(OperationType.COMPRESSION) > 0
+
+
+def test_kernel_microbench_runs():
+    """Slope-timed kernel microbench executes on the CPU platform and
+    returns sane numbers for every kernel."""
+    from datacomp_tpu.benchmark.kernels import format_kernel_results, run_kernel_bench
+
+    res = run_kernel_bench(size_mb=1, kind="text", k_points=(1, 2), repeats=1)
+    assert set(res) == {"histogram", "codebook", "encode", "decode"}
+    for name, r in res.items():
+        assert r["ms_per_chunk"] > 0, name
+    text = format_kernel_results(res, 1)
+    assert "histogram" in text and "decode" in text
+    js = format_kernel_results(res, 1, "json")
+    import json
+
+    assert json.loads(js)["chunk_mb"] == 1

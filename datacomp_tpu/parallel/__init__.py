@@ -5,6 +5,7 @@ from .sharded import make_sharded_compress_step, sharded_compress_arrays
 from .multihost import (
     ChunkAssignment,
     assemble_header,
+    compress_multihost,
     global_offsets,
     initialize_distributed,
     interleave_gathered,
@@ -18,6 +19,7 @@ __all__ = [
     "sharded_compress_arrays",
     "ChunkAssignment",
     "assemble_header",
+    "compress_multihost",
     "global_offsets",
     "initialize_distributed",
     "interleave_gathered",

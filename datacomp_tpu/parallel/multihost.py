@@ -135,3 +135,105 @@ def assemble_header(
     )
     h.chunks = list(metas_by_index)
     return h
+
+
+def compress_multihost(input_path: str, output_path: str, config=None) -> None:
+    """End-to-end multi-host compress: every participating process encodes
+    its round-robin chunk stripe, per-chunk metadata is all-gathered across
+    processes, offsets are derived identically everywhere, each host pwrites
+    its payloads at their global offsets, and process 0 appends the footer.
+
+    Requires ``jax.distributed`` to be initialized when running with more
+    than one process (see :func:`initialize_distributed`); single-process it
+    produces output byte-identical to the ChunkedPipeline's.  The input must
+    be visible to every process (shared filesystem), as on a TPU pod.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..config import load_config
+    from ..models import StageMetrics
+    from ..services.cpu_service import CpuChunkCodec
+
+    cfg = config or load_config()
+    host = jax.process_index()
+    num_hosts = jax.process_count()
+    chunk_size = cfg.chunk_size_bytes
+    version = cfg.compression.format_version
+    subblock = cfg.compression.subblock_symbols if version >= ct.VERSION_V2 else 0
+    file_size = os.path.getsize(input_path)
+    num_chunks = (file_size + chunk_size - 1) // chunk_size
+    G = (chunk_size + subblock - 1) // subblock if subblock else 0
+
+    assign = ChunkAssignment(host, num_hosts, num_chunks)
+    local = assign.local_chunks()
+    L = (num_chunks + num_hosts - 1) // num_hosts  # padded stripe length
+
+    codec = CpuChunkCodec(cfg)
+    metrics = StageMetrics()
+    payloads: List[bytes] = []
+    sizes = np.zeros(L, np.int64)
+    osz = np.zeros(L, np.int64)
+    shas = np.zeros((L, 32), np.uint8)
+    lens = np.zeros((L, 256), np.int32)
+    ngaps = np.zeros(L, np.int32)
+    gaps = np.zeros((L, max(G, 1)), np.uint32)
+    with open(input_path, "rb") as f:
+        for k, ci in enumerate(local):
+            off = ci * chunk_size
+            n = min(chunk_size, file_size - off)
+            f.seek(off)
+            data = np.frombuffer(f.read(n), dtype=np.uint8)
+            enc = codec.encode_chunk(data, metrics)
+            payloads.append(bytes(enc.payload))
+            sizes[k] = len(enc.payload)
+            osz[k] = n
+            shas[k] = np.frombuffer(enc.sha256, np.uint8)
+            lens[k] = enc.code_lengths
+            if enc.gap_bits is not None:
+                ngaps[k] = enc.gap_bits.size
+                gaps[k, : enc.gap_bits.size] = enc.gap_bits
+
+    # all-gather per-chunk metadata across processes (leading axis = host)
+    if num_hosts > 1:
+        g_sizes = multihost_utils.process_allgather(sizes)
+        g_osz = multihost_utils.process_allgather(osz)
+        g_shas = multihost_utils.process_allgather(shas)
+        g_lens = multihost_utils.process_allgather(lens)
+        g_ngaps = multihost_utils.process_allgather(ngaps)
+        g_gaps = multihost_utils.process_allgather(gaps)
+    else:
+        g_sizes, g_osz, g_shas, g_lens, g_ngaps, g_gaps = (
+            a[None, ...] for a in (sizes, osz, shas, lens, ngaps, gaps)
+        )
+
+    sizes_global = interleave_gathered(list(np.asarray(g_sizes)), num_chunks)
+    offsets = global_offsets(sizes_global)
+    total_payload = int(sizes_global.sum())
+
+    write_host_payloads(output_path, payloads, local, offsets)
+    if num_hosts > 1:
+        multihost_utils.sync_global_devices("dcz:payloads-written")
+    if host == 0:
+        metas = []
+        for ci in range(num_chunks):
+            h, k = ChunkAssignment.owner_of(ci, num_hosts), ci // num_hosts
+            gb = (
+                np.asarray(g_gaps[h][k][: int(g_ngaps[h][k])], np.uint32)
+                if subblock and int(g_ngaps[h][k]) else None
+            )
+            metas.append(
+                ct.ChunkMeta(
+                    ci, ci * chunk_size, int(g_osz[h][k]), int(offsets[ci]),
+                    int(g_sizes[h][k]), bytes(np.asarray(g_shas[h][k], np.uint8)),
+                    np.asarray(g_lens[h][k], np.int32), gb,
+                )
+            )
+        header = assemble_header(
+            os.path.basename(input_path), file_size,
+            int(os.path.getmtime(input_path) * 1000), chunk_size, metas,
+            version=version, subblock=subblock,
+        )
+        write_footer_host0(output_path, header, total_payload)
+    if num_hosts > 1:
+        multihost_utils.sync_global_devices("dcz:footer-written")

@@ -111,3 +111,89 @@ def test_simulated_multihost_compress(tmp_path):
     svc.compress(str(src), ref)
     assert open(out, "rb").read() == open(ref, "rb").read()
     svc.close()
+
+
+def test_compress_multihost_single_process_identical(tmp_path):
+    """compress_multihost degrades to a byte-identical single-host compress."""
+    from datacomp_tpu.config import load_config
+    from datacomp_tpu.parallel.multihost import compress_multihost
+    from datacomp_tpu.services.cpu_service import CpuCompressionService
+    from datacomp_tpu.utils.testdata import generate_bytes
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(generate_bytes("text", 3 << 20) + generate_bytes("random", 1 << 20))
+    for version in (1, 2):
+        cfg = load_config(compression={"chunk_size_mb": 1, "format_version": version})
+        with CpuCompressionService(cfg) as svc:
+            svc.compress(str(src), str(tmp_path / "ref.dcz"))
+        compress_multihost(str(src), str(tmp_path / "mh.dcz"), cfg)
+        assert (tmp_path / "mh.dcz").read_bytes() == (tmp_path / "ref.dcz").read_bytes(), (
+            f"v{version} multihost output differs from single-host"
+        )
+
+
+TWO_PROC_SCRIPT = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.distributed
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+from datacomp_tpu.config import load_config
+from datacomp_tpu.parallel.multihost import compress_multihost
+cfg = load_config(compression={"chunk_size_mb": 1, "format_version": 2})
+compress_multihost(sys.argv[3], sys.argv[4], cfg)
+"""
+
+
+def test_compress_multihost_two_processes(tmp_path):
+    """REAL two-process run: jax.distributed over localhost, round-robin
+    stripes, cross-process metadata allgather, disjoint pwrites, host-0
+    footer.  Output must decompress byte-exactly with the normal service."""
+    import socket
+    import subprocess
+    import sys
+
+    from datacomp_tpu.config import load_config
+    from datacomp_tpu.services.cpu_service import CpuCompressionService
+    from datacomp_tpu.utils.testdata import generate_bytes
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(
+        generate_bytes("text", 2 << 20)
+        + generate_bytes("skewed", 1 << 20)
+        + generate_bytes("random", 1 << 20)
+        + b"tail-bytes"
+    )
+    out = tmp_path / "mh2.dcz"
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord = f"127.0.0.1:{s.getsockname()[1]}"
+    script = tmp_path / "worker.py"
+    script.write_text(TWO_PROC_SCRIPT)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), str(src), str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.skip("jax.distributed two-process run timed out on this host")
+        if p.returncode != 0:
+            pytest.fail(f"worker failed:\n{err.decode()[-2000:]}")
+    cfg = load_config(compression={"chunk_size_mb": 1, "format_version": 2})
+    with CpuCompressionService(cfg) as svc:
+        assert svc.verify_integrity(str(out), deep=True)
+        svc.decompress(str(out), str(tmp_path / "restored.bin"))
+    assert (tmp_path / "restored.bin").read_bytes() == src.read_bytes()

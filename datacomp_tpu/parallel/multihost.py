@@ -137,16 +137,21 @@ def assemble_header(
     return h
 
 
-def compress_multihost(input_path: str, output_path: str, config=None) -> None:
+def compress_multihost(
+    input_path: str, output_path: str, config=None, backend: str = "cpu"
+) -> None:
     """End-to-end multi-host compress: every participating process encodes
     its round-robin chunk stripe, per-chunk metadata is all-gathered across
     processes, offsets are derived identically everywhere, each host pwrites
     its payloads at their global offsets, and process 0 appends the footer.
 
-    Requires ``jax.distributed`` to be initialized when running with more
-    than one process (see :func:`initialize_distributed`); single-process it
-    produces output byte-identical to the ChunkedPipeline's.  The input must
-    be visible to every process (shared filesystem), as on a TPU pod.
+    ``backend="tpu"`` encodes each host's stripe with its local device codec
+    (falling back per the TPU service's fallback chain); ``"cpu"`` uses the
+    native host codec.  Requires ``jax.distributed`` to be initialized when
+    running with more than one process (see :func:`initialize_distributed`);
+    single-process it produces output byte-identical to the
+    ChunkedPipeline's.  The input must be visible to every process (shared
+    filesystem), as on a TPU pod.
     """
     import jax
     from jax.experimental import multihost_utils
@@ -169,7 +174,12 @@ def compress_multihost(input_path: str, output_path: str, config=None) -> None:
     local = assign.local_chunks()
     L = (num_chunks + num_hosts - 1) // num_hosts  # padded stripe length
 
-    codec = CpuChunkCodec(cfg)
+    if backend == "tpu":
+        from ..services.tpu_service import TpuChunkCodec
+
+        codec = TpuChunkCodec(cfg)
+    else:
+        codec = CpuChunkCodec(cfg)
     metrics = StageMetrics()
     payloads: List[bytes] = []
     sizes = np.zeros(L, np.int64)

@@ -197,3 +197,19 @@ def test_compress_multihost_two_processes(tmp_path):
         assert svc.verify_integrity(str(out), deep=True)
         svc.decompress(str(out), str(tmp_path / "restored.bin"))
     assert (tmp_path / "restored.bin").read_bytes() == src.read_bytes()
+
+
+def test_compress_multihost_tpu_backend(tmp_path):
+    """backend="tpu" encodes stripes with the device codec (CPU platform
+    here) and still produces output identical to the CPU-codec path with a
+    java-mode codebook."""
+    from datacomp_tpu.config import load_config
+    from datacomp_tpu.parallel.multihost import compress_multihost
+    from datacomp_tpu.utils.testdata import generate_bytes
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(generate_bytes("text", 2 << 20))
+    cfg = load_config(compression={"chunk_size_mb": 1, "format_version": 2})
+    compress_multihost(str(src), str(tmp_path / "cpu.dcz"), cfg, backend="cpu")
+    compress_multihost(str(src), str(tmp_path / "tpu.dcz"), cfg, backend="tpu")
+    assert (tmp_path / "tpu.dcz").read_bytes() == (tmp_path / "cpu.dcz").read_bytes()

@@ -306,13 +306,19 @@ class TpuChunkCodec(ChunkCodec):
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD):
             limits, adj, sym = build_decode_tables(meta.code_lengths)
         with metrics.timed(Stage.DECODING, meta.original_size):
-            # pad stream + gaps to static shapes
+            # pad the stream to a BUCKETED static shape: padding straight to
+            # the worst case (9 bits/byte ≈ 18 MB for a 16 MB chunk) would
+            # transfer mostly zeros on every chunk — ruinous through slow
+            # host→device paths.  Eight size buckets bound the compile count
+            # while keeping the transfer within 12.5% + 256 KB of the payload.
             words = payload_to_words(payload)
             cap = (9 * header.chunk_size_bytes + 31) // 32 + 4
             if words.size > cap:
                 # foreign encoder with pathological codes: host decode
                 return self._cpu.decode_chunk(payload, meta, header, metrics)
-            wpad = np.zeros(cap, dtype=np.uint32)
+            bucket = max(cap // 8, 1 << 16)
+            padded = min(-(-words.size // bucket) * bucket, cap)
+            wpad = np.zeros(padded, dtype=np.uint32)
             wpad[: words.size] = words
             gpad = np.zeros(nsub_static, dtype=np.uint32)
             gpad[: meta.gap_bits.size] = meta.gap_bits

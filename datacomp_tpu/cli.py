@@ -35,6 +35,7 @@ def _make_service(args):
         compression={
             "chunk_size_mb": args.chunk_mb,
             "format_version": getattr(args, "format", 1),
+            "max_code_len": getattr(args, "max_code_len", 0),
         },
     )
     if args.backend == "cpu":
@@ -177,6 +178,7 @@ use-memory-mapped-io = true
 subblock-symbols = 4032    # v2 gap-array granularity (divisible by 32 and by 2-4)
 format-version = 1         # 1 = reference-bit-compatible, 2 = +gap arrays
 codebook-mode = "java"     # java | fast | device
+max-code-len = 0           # 0 = unlimited; N caps codes at N bits (package-merge)
 
 [datacomp.device]
 auto-detect = true
@@ -261,6 +263,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="container version: 1=reference-compatible, 2=+gap arrays (TPU decode)")
     sp.add_argument("--no-verify", action="store_true",
                     help="skip the post-compress integrity verification")
+    sp.add_argument("--max-code-len", type=int, default=0, metavar="N",
+                    help="cap code lengths at N bits via optimal package-merge "
+                         "(0 = unlimited; <=16 keeps v2 decode on-device)")
     sp.set_defaults(func=cmd_compress)
 
     sp = sub.add_parser("decompress", aliases=["d"], help="decompress a .dcz file")

@@ -34,6 +34,11 @@ class CompressionConfig:
     subblock_symbols: int = 4032
     format_version: int = 1  # 1 = reference-bit-compatible, 2 = +gap arrays
     codebook_mode: str = "java"  # "java" = bit-exact reference tie-breaks, "fast"
+    # Cap on per-symbol code length (0 = unlimited, reference parity).  When a
+    # chunk's optimal code is deeper, the optimal length-limited code is built
+    # instead (package-merge).  Codes ≤ 16 keep v2 decode on-device; ≤ 10/8
+    # raise the device decoder's symbols-per-refill rate to 3/4.
+    max_code_len: int = 0
 
 
 @dataclass(frozen=True)

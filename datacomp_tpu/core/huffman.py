@@ -176,16 +176,80 @@ def _lengths_fast(freqs: np.ndarray) -> np.ndarray:
     return lengths
 
 
-def build_code_lengths(freqs: np.ndarray, mode: str = "java") -> np.ndarray:
+def _lengths_package_merge(freqs: np.ndarray, max_len: int) -> np.ndarray:
+    """Optimal *length-limited* code lengths via package-merge.
+
+    Classic Larmore–Hirschberg construction: level ``max_len`` holds the items
+    only; each shallower level merges the items with pairwise "packages" of
+    the level below; the first ``2n - 2`` nodes of level 1 are selected, and a
+    leaf's code length is the number of selected (transitively expanded) nodes
+    containing it.  Deterministic: merges are stable with leaves preferred on
+    weight ties.  The reference has no equivalent (its codes are unbounded up
+    to the 32-bit codeword int, ``core/CanonicalHuffman.java``); this exists
+    so every chunk can stay on the device decode path, whose comparison
+    decoder needs codes ≤ 16 bits (``ops/decode.py``).
+    """
+    syms = np.nonzero(freqs > 0)[0]
+    n = int(syms.size)
+    if n > (1 << max_len):
+        raise ValueError(f"{n} symbols cannot fit in {max_len}-bit codes")
+    order = np.lexsort((syms, freqs[syms]))  # weight, then symbol: determinism
+    items = freqs[syms][order].astype(np.int64)
+
+    # levels[l] = list of (weight, is_leaf, a, b); packages reference the two
+    # node indices of the level BELOW (l+1); leaves carry the item index.
+    levels: list[list] = [None] * (max_len + 1)
+    below: list = []
+    for level in range(max_len, 0, -1):
+        pkgs = [
+            (below[2 * i][0] + below[2 * i + 1][0], False, 2 * i, 2 * i + 1)
+            for i in range(len(below) // 2)
+        ]
+        merged, li, pi = [], 0, 0
+        while li < n or pi < len(pkgs):
+            if pi >= len(pkgs) or (li < n and items[li] <= pkgs[pi][0]):
+                merged.append((int(items[li]), True, li, -1))
+                li += 1
+            else:
+                merged.append(pkgs[pi])
+                pi += 1
+        levels[level] = merged
+        below = merged
+
+    counts = np.zeros(n, dtype=np.int32)
+    stack = [(1, i) for i in range(2 * n - 2)]
+    while stack:
+        level, idx = stack.pop()
+        _, is_leaf, a, b = levels[level][idx]
+        if is_leaf:
+            counts[a] += 1
+        else:
+            stack.append((level + 1, a))
+            stack.append((level + 1, b))
+
+    lengths = np.zeros(ALPHABET_SIZE, dtype=np.int32)
+    lengths[syms[order]] = counts
+    return lengths
+
+
+def build_code_lengths(
+    freqs: np.ndarray, mode: str = "java", max_len: int = 0
+) -> np.ndarray:
     """Per-symbol canonical Huffman code lengths from a 256-bin histogram.
 
     Edge cases match the reference (``CanonicalHuffman.java:31-45``): an empty
     histogram yields all-zero lengths; a single distinct symbol gets a 1-bit
     code.
+
+    ``max_len > 0`` caps code lengths: when the unconstrained code already
+    fits it is returned unchanged (so ``mode="java"`` stays bit-exact), else
+    the optimal length-limited code is built with package-merge.
     """
     freqs = np.asarray(freqs)
     if freqs.shape != (ALPHABET_SIZE,):
         raise ValueError("frequency array must have 256 elements")
+    if max_len < 0 or max_len > MAX_CODE_LEN:
+        raise ValueError(f"max_len must be 0 (unlimited) or 1..{MAX_CODE_LEN}")
     nsyms = int(np.count_nonzero(freqs > 0))
     if nsyms == 0:
         return np.zeros(ALPHABET_SIZE, dtype=np.int32)
@@ -194,6 +258,8 @@ def build_code_lengths(freqs: np.ndarray, mode: str = "java") -> np.ndarray:
         lengths[int(np.argmax(freqs > 0))] = 1
         return lengths
     lengths = _lengths_java(freqs) if mode == "java" else _lengths_fast(freqs)
+    if max_len and int(lengths.max()) > max_len:
+        lengths = _lengths_package_merge(freqs, max_len)
     if int(lengths.max()) > MAX_CODE_LEN:
         raise ValueError(
             f"Huffman code length {int(lengths.max())} exceeds {MAX_CODE_LEN} "
@@ -239,9 +305,9 @@ def canonical_codes_from_lengths(lengths: np.ndarray) -> np.ndarray:
     return codes
 
 
-def build_codebook(freqs: np.ndarray, mode: str = "java"):
+def build_codebook(freqs: np.ndarray, mode: str = "java", max_len: int = 0):
     """Histogram → (lengths int32[256], codewords uint32[256])."""
-    lengths = build_code_lengths(freqs, mode=mode)
+    lengths = build_code_lengths(freqs, mode=mode, max_len=max_len)
     return lengths, canonical_codes_from_lengths(lengths)
 
 

@@ -58,7 +58,9 @@ class CpuChunkCodec(ChunkCodec):
             hist = self.freq.compute_histogram(data)
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
             lengths, codes = huffman.build_codebook(
-                hist, mode=self.config.compression.codebook_mode
+                hist,
+                mode=self.config.compression.codebook_mode,
+                max_len=self.config.compression.max_code_len,
             )
         v2 = self.config.compression.format_version >= 2 and n > 0
         sub = self.config.compression.subblock_symbols

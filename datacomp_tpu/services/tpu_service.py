@@ -230,7 +230,10 @@ class TpuChunkCodec(ChunkCodec):
                 codes = np.asarray(codes_dev).astype(np.uint32)
             else:
                 hist = np.asarray(hist_dev).astype(np.int64)
-                lengths, codes = huffman.build_codebook(hist, mode=mode)
+                lengths, codes = huffman.build_codebook(
+                    hist, mode=mode,
+                    max_len=self.config.compression.max_code_len,
+                )
                 lengths_dev = jax.device_put(lengths, dev)
                 codes_dev = jax.device_put(codes, dev)
 

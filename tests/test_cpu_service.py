@@ -174,3 +174,50 @@ def test_raw_store_incompressible_v2(tmp_path):
         svc.compress(str(src), str(src) + ".v1.dcz")
         h1, _ = read_container(str(src) + ".v1.dcz")
         assert any(c.code_lengths.any() for c in h1.chunks)
+
+
+def test_max_code_len_roundtrip_deep_skew(tmp_path):
+    """A geometric byte distribution drives optimal codes past 16 bits; the
+    max-code-len cap (package-merge) bounds them so v2 chunks stay on the
+    device decode path — output must still round-trip and stay format-valid."""
+    rng = np.random.default_rng(3)
+    # geometric: ~half 0x00, quarter 0x01, ... very deep Huffman tree
+    raw = np.minimum(rng.geometric(0.5, 1 << 18) - 1, 200).astype(np.uint8)
+    data = raw.tobytes()
+
+    cfg_unl = load_config(compression={"chunk_size_mb": 1, "codebook_mode": "fast"})
+    cfg_cap = load_config(
+        compression={"chunk_size_mb": 1, "codebook_mode": "fast", "max_code_len": 12}
+    )
+    with CpuCompressionService(cfg_unl) as s_unl, CpuCompressionService(cfg_cap) as s_cap:
+        dcz_u = roundtrip(s_unl, tmp_path, data, "unl.bin")
+        dcz_c = roundtrip(s_cap, tmp_path, data, "cap.bin")
+
+    hdr_u, _ = read_container(dcz_u)
+    hdr_c, _ = read_container(dcz_c)
+    max_u = max(int(np.asarray(c.code_lengths).max()) for c in hdr_u.chunks)
+    max_c = max(int(np.asarray(c.code_lengths).max()) for c in hdr_c.chunks)
+    assert max_u > 12, "fixture no longer exercises deep codes"
+    assert max_c <= 12
+    # optimal length-limited: barely any ratio cost on this distribution
+    assert os.path.getsize(dcz_c) <= int(1.05 * os.path.getsize(dcz_u))
+
+
+def test_max_code_len_noop_on_typical_data(tmp_path):
+    """Typical text never hits the cap: output must be byte-identical."""
+    data = b"The quick brown fox jumps over the lazy dog. " * 500
+    cfg_a = load_config(compression={"chunk_size_mb": 1})
+    cfg_b = load_config(compression={"chunk_size_mb": 1, "max_code_len": 16})
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    with CpuCompressionService(cfg_a) as sa, CpuCompressionService(cfg_b) as sb:
+        a = roundtrip(sa, tmp_path / "a", data, "f.bin")
+        b = roundtrip(sb, tmp_path / "b", data, "f.bin")
+    # footer carries a timestamp; compare payloads and chunk tables instead
+    ha, _ = read_container(a)
+    hb, _ = read_container(b)
+    for ca, cb in zip(ha.chunks, hb.chunks):
+        assert np.array_equal(ca.code_lengths, cb.code_lengths)
+        assert ca.compressed_size == cb.compressed_size
+    na = sum(c.compressed_size for c in ha.chunks)
+    assert open(a, "rb").read()[:na] == open(b, "rb").read()[:na]

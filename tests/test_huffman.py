@@ -173,3 +173,98 @@ class TestValidation:
         assert validate_lengths(lens)
         lens[2] = 1  # Kraft violation
         assert not validate_lengths(lens)
+
+
+class TestLengthLimited:
+    """Optimal length-limited codes (package-merge) — the reference has no
+    equivalent (codes unbounded up to 32 bits); this keeps every chunk on the
+    device decode path (codes <= 16 bits, ``ops/decode.py``)."""
+
+    @staticmethod
+    def _total(freqs, lens):
+        return int((freqs.astype(np.int64) * lens).sum())
+
+    def _brute_optimal(self, weights, limit):
+        best = [None]
+
+        def rec(i, lens, kraft):
+            if kraft > 1.0 + 1e-12:
+                return
+            if i == len(weights):
+                c = sum(w * l for w, l in zip(weights, lens))
+                if best[0] is None or c < best[0]:
+                    best[0] = c
+                return
+            for l in range(1, limit + 1):
+                lens.append(l)
+                rec(i + 1, lens, kraft + 2.0 ** -l)
+                lens.pop()
+
+        rec(0, [], 0.0)
+        return best[0]
+
+    def test_matches_brute_force_optimum(self, rng):
+        for _ in range(60):
+            n = int(rng.integers(2, 7))
+            limit = int(rng.integers(int(np.ceil(np.log2(n))), 6))
+            freqs = np.zeros(256, np.int64)
+            syms = rng.choice(256, n, replace=False)
+            freqs[syms] = rng.integers(1, 1000, n)
+            lens = build_code_lengths(freqs, mode="fast", max_len=limit)
+            assert validate_lengths(lens)
+            assert lens[syms].max() <= limit and (lens[syms] > 0).all()
+            assert self._total(freqs, lens) == self._brute_optimal(
+                list(freqs[syms]), limit
+            )
+
+    def test_unchanged_when_limit_not_binding(self, rng):
+        for _ in range(20):
+            freqs = rng.integers(0, 1000, 256).astype(np.int64)
+            unl = build_code_lengths(freqs, mode="java")
+            lim = build_code_lengths(freqs, mode="java", max_len=32)
+            assert np.array_equal(unl, lim)  # java mode stays bit-exact
+
+    def test_limits_deep_skew_and_stays_kraft_valid(self):
+        freqs = np.zeros(256, np.int64)
+        freqs[:30] = (1 << np.arange(30)).astype(np.int64)  # fibonacci-ish skew
+        unl = build_code_lengths(freqs, mode="fast")
+        lim = build_code_lengths(freqs, mode="fast", max_len=16)
+        assert unl.max() > 16
+        assert lim.max() == 16 and validate_lengths(lim)
+        # the cap costs compression but must stay close to optimal here
+        assert self._total(freqs, lim) < int(1.10 * self._total(freqs, unl))
+
+    def test_rescues_codes_beyond_32_bits(self):
+        # unconstrained code depth 39 raises; the cap makes it compressible
+        freqs = np.zeros(256, np.int64)
+        freqs[:40] = (1 << np.arange(40)).astype(np.int64)
+        with pytest.raises(ValueError):
+            build_code_lengths(freqs, mode="fast")
+        lens = build_code_lengths(freqs, mode="fast", max_len=16)
+        assert lens.max() <= 16 and validate_lengths(lens)
+
+    def test_tight_limit_full_alphabet(self, rng):
+        # 256 used symbols at limit 8: the only Kraft-valid code is fixed 8-bit
+        freqs = rng.integers(1, 10**6, 256).astype(np.int64)
+        lens = build_code_lengths(freqs, mode="fast", max_len=8)
+        assert (lens == 8).all()
+
+    def test_infeasible_limit_rejected(self):
+        freqs = np.ones(256, np.int64)
+        with pytest.raises(ValueError):
+            build_code_lengths(freqs, mode="fast", max_len=7)
+        with pytest.raises(ValueError):
+            build_code_lengths(freqs, max_len=33)
+
+    def test_canonical_codes_from_limited_lengths_prefix_free(self, rng):
+        freqs = np.zeros(256, np.int64)
+        freqs[:50] = rng.integers(1, 2**40, 50)
+        lens = build_code_lengths(freqs, mode="fast", max_len=12)
+        codes = canonical_codes_from_lengths(lens)
+        used = np.nonzero(lens > 0)[0]
+        seen = set()
+        for s in used:
+            bits = format(codes[s], f"0{lens[s]}b")
+            for p in seen:
+                assert not bits.startswith(p) and not p.startswith(bits)
+            seen.add(bits)

@@ -153,6 +153,34 @@ def test_deep_codebook_decodes_via_host(tmp_path):
     assert open(str(src) + ".out", "rb").read() == bytes(blob)
 
 
+def test_max_code_len_keeps_decode_on_device(tmp_path, monkeypatch):
+    """With ``max_code_len=12`` the same deep-skew chunk stays on the DEVICE
+    decode path: poison the host decoder to prove it is never consulted."""
+    c = cfg(format_version=2, codebook_mode="fast", max_code_len=12)
+    a, b = 1, 1
+    blob = bytearray()
+    for s in range(26):
+        blob.extend(bytes([s]) * a)
+        a, b = b, a + b
+    src = tmp_path / "deep.bin"
+    src.write_bytes(bytes(blob))
+    with TpuCompressionService(c) as svc:
+        svc.compress(str(src), str(src) + ".dcz")
+        hdr, _ = read_container(str(src) + ".dcz")
+        assert all(int(np.asarray(m.code_lengths).max()) <= 12 for m in hdr.chunks)
+
+        import datacomp_tpu.services.cpu_service as cpu_mod
+
+        def _boom(*a, **k):  # pragma: no cover - must not run
+            raise AssertionError("host decode consulted for device-decodable chunk")
+
+        monkeypatch.setattr(
+            cpu_mod.CpuChunkCodec, "decode_chunk", _boom, raising=True
+        )
+        svc.decompress(str(src) + ".dcz", str(src) + ".out")
+    assert open(str(src) + ".out", "rb").read() == bytes(blob)
+
+
 class TestFactory:
     def test_force_cpu(self):
         svc = create_compression_service(cfg(), force_cpu=True)

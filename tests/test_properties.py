@@ -69,3 +69,37 @@ def test_gap_decode_matches(blob, subblock):
     payload, gaps = native.encode(data, lens, codes, subblock=subblock)
     out = native.decode_gaps(payload, data.size, lens, gaps, subblock)
     assert np.array_equal(out, data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    freq_arrays,
+    st.integers(min_value=8, max_value=20),
+)
+def test_length_limited_codebook_properties(freqs, limit):
+    """Package-merge cap: limit respected, Kraft-valid, never cheaper than the
+    unconstrained optimum, identical when the cap does not bind — and the
+    resulting bitstream still round-trips."""
+    lens_unl, _ = build_codebook(freqs, mode="fast")
+    lens, codes = build_codebook(freqs, mode="fast", max_len=limit)
+    assert ((freqs > 0) == (lens > 0)).all()
+    assert validate_lengths(lens)
+    used = lens > 0
+    if used.any():
+        assert int(lens[used].max()) <= limit
+    f64 = freqs.astype(np.int64)
+    cost_unl = int((f64 * lens_unl).sum())
+    cost_lim = int((f64 * lens).sum())
+    assert cost_lim >= cost_unl
+    if int(lens_unl.max()) <= limit:
+        assert np.array_equal(lens, lens_unl)
+
+    # encode/decode a stream drawn from these frequencies round-trips
+    syms = np.nonzero(freqs > 0)[0]
+    if syms.size:
+        rng = np.random.default_rng(1)
+        p = freqs[syms] / freqs[syms].sum()
+        blob = rng.choice(syms, size=512, p=p).astype(np.uint8)
+        payload = encode_bitstream(blob, lens, codes)
+        out = decode_bitstream_py(payload, blob.size, lens)
+        assert np.array_equal(out, blob)

@@ -155,7 +155,7 @@ def cmd_dashboard(args) -> int:
 
     print(render_dashboard())
     if args.html:
-        export_html(args.html)
+        export_html(args.html, theme=args.theme)
         print(f"HTML report written to {args.html}")
     return 0
 
@@ -305,6 +305,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("dashboard", help="system/device info + metrics dashboard")
     sp.add_argument("--html", default=None, help="also write an HTML report here")
+    sp.add_argument("--theme", choices=["dark", "light", "auto"], default="dark",
+                    help="HTML report theme (auto follows prefers-color-scheme)")
     sp.set_defaults(func=cmd_dashboard)
 
     sp = sub.add_parser("devices", help="enumerate compute devices")

@@ -91,9 +91,31 @@ def render_dashboard(service: Optional[MetricsService] = None) -> str:
     return "\n".join(out)
 
 
-def export_html(path: str, service: Optional[MetricsService] = None) -> None:
+_THEME_DARK = "--bg:#14151a;--fg:#e6e6e6;--accent:#4a9eff;--border:#333"
+_THEME_LIGHT = "--bg:#f7f7f5;--fg:#1a1a1a;--accent:#1761c7;--border:#c8c8c4"
+
+
+def _theme_css(theme: str) -> str:
+    """Dark / light / auto palettes (parity with the reference's
+    ``dark-theme.css`` / ``light-theme.css`` pair and the Settings live theme
+    switch, ``ui/SettingsController.java:222-245``)."""
+    if theme == "light":
+        return f":root{{{_THEME_LIGHT}}}"
+    if theme == "auto":
+        return (
+            f":root{{{_THEME_LIGHT}}}"
+            f"@media (prefers-color-scheme: dark){{:root{{{_THEME_DARK}}}}}"
+        )
+    return f":root{{{_THEME_DARK}}}"
+
+
+def export_html(
+    path: str, service: Optional[MetricsService] = None, theme: str = "dark"
+) -> None:
     """Static HTML report (replaces the JavaFX charts with a self-contained
-    page; no external assets)."""
+    page; no external assets).  ``theme``: dark | light | auto."""
+    if theme not in ("dark", "light", "auto"):
+        raise ValueError(f"unknown theme {theme!r} (dark|light|auto)")
     ms = service or MetricsService.get_instance()
     recent = ms.get_recent()
     rows = "".join(
@@ -109,11 +131,12 @@ def export_html(path: str, service: Optional[MetricsService] = None) -> None:
     info = "<br>".join(html.escape(line) for line in device_info_lines())
     doc = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>datacomp-tpu dashboard</title><style>
-body{{font-family:monospace;background:#14151a;color:#e6e6e6;margin:2em}}
-table{{border-collapse:collapse;width:100%}}td,th{{border:1px solid #333;padding:4px 8px}}
+{_theme_css(theme)}
+body{{font-family:monospace;background:var(--bg);color:var(--fg);margin:2em}}
+table{{border-collapse:collapse;width:100%}}td,th{{border:1px solid var(--border);padding:4px 8px}}
 .chart{{display:flex;align-items:flex-end;height:120px;gap:2px;margin:1em 0}}
-.bar{{flex:1;background:#4a9eff;min-width:4px}}
-h1{{color:#4a9eff}}</style></head><body>
+.bar{{flex:1;background:var(--accent);min-width:4px}}
+h1{{color:var(--accent)}}</style></head><body>
 <h1>datacomp-tpu dashboard</h1>
 <p>{info}</p>
 <div class="chart">{bars}</div>

@@ -45,6 +45,20 @@ class TestDashboard:
         assert "<table>" in html and "file0.bin" in html
         assert html.count('class="bar"') == 5
 
+    def test_html_themes(self, tmp_path, populated_metrics):
+        # parity with the reference's dark/light CSS theme pair
+        p = str(tmp_path / "report.html")
+        export_html(p, populated_metrics, theme="dark")
+        assert "--bg:#14151a" in open(p).read()
+        export_html(p, populated_metrics, theme="light")
+        assert "--bg:#f7f7f5" in open(p).read()
+        export_html(p, populated_metrics, theme="auto")
+        assert "prefers-color-scheme" in open(p).read()
+        import pytest
+
+        with pytest.raises(ValueError):
+            export_html(p, populated_metrics, theme="sepia")
+
     def test_sparkline(self):
         assert sparkline([]) == ""
         s = sparkline([0.0, 1.0, 2.0, 4.0])

@@ -31,13 +31,14 @@ def _progress_printer(label: str):
 
 
 def _make_service(args):
-    cfg = load_config(
-        compression={
-            "chunk_size_mb": args.chunk_mb,
-            "format_version": getattr(args, "format", 1),
-            "max_code_len": getattr(args, "max_code_len", 0),
-        },
-    )
+    comp = {
+        "chunk_size_mb": args.chunk_mb,
+        "format_version": getattr(args, "format", 1),
+        "max_code_len": getattr(args, "max_code_len", 0),
+    }
+    if getattr(args, "codebook_mode", None):
+        comp["codebook_mode"] = args.codebook_mode
+    cfg = load_config(compression=comp)
     if args.backend == "cpu":
         from .services.cpu_service import CpuCompressionService
 
@@ -266,6 +267,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-code-len", type=int, default=0, metavar="N",
                     help="cap code lengths at N bits via optimal package-merge "
                          "(0 = unlimited; <=16 keeps v2 decode on-device)")
+    sp.add_argument("--codebook-mode", choices=["java", "fast", "device"],
+                    default=None,
+                    help="java = reference-bit-exact tie-breaks (default), "
+                         "fast = two-queue optimal, device = fused on-device build")
     sp.set_defaults(func=cmd_compress)
 
     sp = sub.add_parser("decompress", aliases=["d"], help="decompress a .dcz file")

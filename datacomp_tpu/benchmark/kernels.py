@@ -54,6 +54,7 @@ def run_kernel_bench(
     from ..core.bitio import encode_bitstream
     from ..core.huffman import build_codebook
     from ..ops import (
+        cmp_len_bucket,
         build_decode_tables,
         decode_device,
         device_codebook,
@@ -109,7 +110,8 @@ def run_kernel_bench(
         return tb
 
     def decode_once(x):
-        o = decode_device(x, gd, Ld, Ad, Sd, subblock, nsub, syms_per_step=sps)
+        o = decode_device(x, gd, Ld, Ad, Sd, subblock, nsub, syms_per_step=sps,
+                          cmp_len=cmp_len_bucket(maxlen))
         return o.astype(jnp.int32).sum()
 
     cases = {

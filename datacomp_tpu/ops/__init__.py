@@ -26,6 +26,7 @@ from .encode_merge import encode_device_merge
 from .decode import (
     TABLE_BITS,
     build_decode_tables,
+    cmp_len_bucket,
     decode_device,
     max_code_len,
     payload_to_words,
@@ -41,6 +42,7 @@ __all__ = [
     "words_to_bytes",
     "TABLE_BITS",
     "build_decode_tables",
+    "cmp_len_bucket",
     "decode_device",
     "max_code_len",
     "payload_to_words",

@@ -84,9 +84,19 @@ def syms_per_refill(max_len: int, subblock: int) -> int:
     return 1
 
 
+def cmp_len_bucket(max_len: int) -> int:
+    """Static compare-width bucket covering ``max_len`` (bounds recompiles)."""
+    for b in (8, 10, 12, TABLE_BITS):
+        if b >= max_len:
+            return b
+    return TABLE_BITS
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("subblock", "num_subblocks", "syms_per_step", "table_bits"),
+    static_argnames=(
+        "subblock", "num_subblocks", "syms_per_step", "table_bits", "cmp_len"
+    ),
 )
 def decode_device(
     words: jnp.ndarray,      # uint32[W+2] compressed stream as big-endian-bit words (2 pad words)
@@ -98,6 +108,7 @@ def decode_device(
     num_subblocks: int,      # static padded sub-block count
     syms_per_step: int = 2,  # static; use syms_per_refill(max_len, subblock)
     table_bits: int = TABLE_BITS,
+    cmp_len: int = TABLE_BITS,  # static; >= chunk max code length (cmp_len_bucket)
 ):
     """Decode ``num_subblocks x subblock`` symbols → uint8[num_subblocks*subblock].
 
@@ -129,16 +140,27 @@ def decode_device(
 
     r16 = jnp.arange(table_bits, dtype=jnp.int32)
     symT = sym.reshape(16, 16).astype(jnp.bfloat16)  # canonical idx = 16h + l
+    # Static compare width: boundaries past the chunk's (bucketed) max code
+    # length are the 1<<16 sentinel and can never match a 16-bit window.
+    limits_c = limits[:cmp_len]
+    # The boundary mask is prefix-true (limits monotone in win), so BOTH the
+    # length and the canonical-index offset fall out of one compare pass:
+    # ln-1 = popcount(mask) and adj[ln-1] = adj[0] + Σ_j mask[j]·Δadj[j]
+    # (Δ padded with 0 so saturated garbage lanes land on adj[cmp_len-1],
+    # matching the previous one-hot's saturation semantics).
+    adj0 = adj[0]
+    adj_delta = jnp.concatenate(
+        [adj[1:cmp_len] - adj[: cmp_len - 1], jnp.zeros(1, adj.dtype)]
+    )
 
     def decode1(hi, lo, nb):
         win = (hi >> u32(32 - table_bits)).astype(jnp.int32)
         # canonical boundaries are monotone in win: length = 1 + #(boundaries
-        # at or below win).  Saturates at table_bits for invalid windows
+        # at or below win).  Saturates at cmp_len for invalid windows
         # (garbage lanes) — decode still makes progress, checksums catch it.
-        ln = (win[:, None] >= limits[None, :]).sum(axis=1).astype(jnp.int32) + 1
-        ln = jnp.minimum(ln, table_bits)
-        ohl = (ln[:, None] - 1 == r16[None, :])
-        adj_l = jnp.where(ohl, adj[None, :], 0).sum(axis=1)
+        mask = win[:, None] >= limits_c[None, :]
+        ln = jnp.minimum(mask.sum(axis=1).astype(jnp.int32) + 1, cmp_len)
+        adj_l = adj0 + jnp.where(mask, adj_delta[None, :], 0).sum(axis=1)
         idx = jnp.clip((win >> (table_bits - ln)) + adj_l, 0, 255)
         # 256-entry lookup as a 16x16 one-hot einsum (values < 256: bf16-exact)
         ohh = ((idx >> 4)[:, None] == r16[None, :]).astype(jnp.bfloat16)

@@ -32,6 +32,7 @@ from ..models import Stage, StageMetrics
 from ..ops import (
     TABLE_BITS,
     build_decode_tables,
+    cmp_len_bucket,
     decode_device,
     device_codebook,
     encode_device_merge,
@@ -344,6 +345,7 @@ class TpuChunkCodec(ChunkCodec):
                 s,
                 nsub_static,
                 syms_per_step=syms_per_refill(max_code_len(meta.code_lengths), s),
+                cmp_len=cmp_len_bucket(max_code_len(meta.code_lengths)),
             )
             return np.asarray(out)[: meta.original_size]
 

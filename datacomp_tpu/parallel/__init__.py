@@ -1,7 +1,11 @@
 """Multi-chip / multi-host scaling: mesh helpers and the sharded compress step."""
 
 from .mesh import make_mesh
-from .sharded import make_sharded_compress_step, sharded_compress_arrays
+from .sharded import (
+    make_sharded_compress_step,
+    make_sharded_decompress_step,
+    sharded_compress_arrays,
+)
 from .multihost import (
     ChunkAssignment,
     assemble_header,
@@ -16,6 +20,7 @@ from .multihost import (
 __all__ = [
     "make_mesh",
     "make_sharded_compress_step",
+    "make_sharded_decompress_step",
     "sharded_compress_arrays",
     "ChunkAssignment",
     "assemble_header",

@@ -87,3 +87,48 @@ def sharded_compress_arrays(mesh: Mesh, data_batch, valid_batch, subblock: int =
     step = make_sharded_compress_step(mesh, chunk_bytes, subblock)
     valid = jnp.asarray(np.asarray(valid_batch, dtype=np.int32))
     return step(jnp.asarray(data_batch), valid)
+
+
+def make_sharded_decompress_step(
+    mesh: Mesh,
+    subblock: int,
+    num_subblocks: int,
+    syms_per_step: int,
+    cmp_len: int = 16,
+    axis_name: str = BLOCKS_AXIS,
+):
+    """Build the jitted sharded DECOMPRESS step: chunks shard over the mesh,
+    each device vmaps the gap-array decoder (``ops/decode.py``) over its local
+    batch.  No collectives are needed — decompress is pure data parallelism
+    over chunks (output offsets are already recorded in the container), the
+    axis the reference could only drive with a CPU thread pool
+    (``CpuCompressionService.java:398-490``; it abandoned in-chunk GPU decode).
+
+    Per-batch static ``syms_per_step``/``cmp_len`` must cover the deepest
+    codebook in the batch (``syms_per_refill(max_len, subblock)`` /
+    ``cmp_len_bucket(max_len)`` over all chunks).
+
+    Takes per-chunk ``words (B, W+2) uint32``, ``gaps (B, num_subblocks)``,
+    ``limits (B, 16)``, ``adj (B, 16)``, ``sym (B, 256)``; returns
+    ``(B, num_subblocks * subblock) uint8`` (callers slice each row to the
+    chunk's original size).
+    """
+    from ..ops.decode import decode_device
+
+    def per_device(words, gaps, limits, adj, sym):
+        return jax.vmap(
+            lambda w, g, l, a, s: decode_device(
+                w, g, l, a, s, subblock, num_subblocks,
+                syms_per_step=syms_per_step, cmp_len=cmp_len,
+            )
+        )(words, gaps, limits, adj, sym)
+
+    spec = P(axis_name)
+    step = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec,) * 5,
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -71,3 +71,49 @@ def test_entry_compiles():
     out = j.jit(fn).lower(*args).compile()(*args)
     words, total_bits, lengths = out
     assert int(total_bits) > 0
+
+
+def test_sharded_decompress_roundtrip(mesh8):
+    """Full multi-chip round trip: sharded compress → sharded gap-array
+    decompress → byte equality (decompress is pure DP over chunks)."""
+    from datacomp_tpu.ops import (
+        build_decode_tables,
+        cmp_len_bucket,
+        max_code_len,
+        payload_to_words,
+        syms_per_refill,
+    )
+    from datacomp_tpu.parallel import make_sharded_decompress_step
+
+    CH = 16384
+    B = 8
+    SUB = 512
+    blob = generate_bytes("text", B * CH)
+    batch = np.frombuffer(blob, np.uint8).reshape(B, CH).copy()
+    valid = np.full(B, CH, np.int32)
+
+    out = sharded_compress_arrays(mesh8, batch, valid, subblock=SUB)
+    _, lengths, _, words, total_bits, gaps, _, _ = map(np.asarray, out)
+
+    nsub = CH // SUB
+    word_arrays = [
+        payload_to_words(words_to_bytes(words[i], int(total_bits[i])))
+        for i in range(B)
+    ]
+    W = max(w.size for w in word_arrays)
+    wbatch = np.zeros((B, W), np.uint32)
+    for i, w in enumerate(word_arrays):
+        wbatch[i, : w.size] = w
+    tables = [build_decode_tables(lengths[i]) for i in range(B)]
+    limits = np.stack([t[0] for t in tables])
+    adj = np.stack([t[1] for t in tables])
+    sym = np.stack([t[2] for t in tables])
+    ml = max(max_code_len(lengths[i]) for i in range(B))
+
+    step = make_sharded_decompress_step(
+        mesh8, SUB, nsub, syms_per_refill(ml, SUB), cmp_len_bucket(ml)
+    )
+    decoded = np.asarray(
+        step(wbatch, gaps[:, :nsub].astype(np.uint32), limits, adj, sym)
+    )
+    assert np.array_equal(decoded.reshape(B, CH), batch)

@@ -22,8 +22,10 @@ from .container import (
     ChunkMeta,
     ContainerError,
     ContainerHeader,
+    TruncatedFooter,
     parse_footer,
     read_container,
+    read_container_fp,
     scan_for_footer,
     serialize_footer,
     write_container,
@@ -47,8 +49,10 @@ __all__ = [
     "ChunkMeta",
     "ContainerError",
     "ContainerHeader",
+    "TruncatedFooter",
     "parse_footer",
     "read_container",
+    "read_container_fp",
     "scan_for_footer",
     "serialize_footer",
     "write_container",

@@ -43,6 +43,12 @@ class ContainerError(ValueError):
     pass
 
 
+class TruncatedFooter(ContainerError):
+    """Footer parse ran off the end of the supplied bytes (the buffer may
+    simply be too small — distinguishable from structural corruption so the
+    header-first probe can grow its prefix instead of giving up)."""
+
+
 @dataclass
 class ChunkMeta:
     index: int
@@ -124,7 +130,7 @@ class _Reader:
 
     def take(self, n: int) -> bytes:
         if self.off + n > len(self.data):
-            raise ContainerError("truncated footer")
+            raise TruncatedFooter("truncated footer")
         b = self.data[self.off : self.off + n]
         self.off += n
         return b
@@ -198,48 +204,90 @@ def write_container(
     fp.write(struct.pack(">q", footer_start))
 
 
+#: initial header-first probe prefix (grown only while the parse reports
+#: truncation, so footer-last archives cost exactly one small read here)
+_PROBE_PREFIX = 4096
+
+
+def _probe_header_first(f: BinaryIO, total: int) -> Optional[ContainerHeader]:
+    """Bounded probe for the legacy header-first layout: reads a small prefix
+    and grows it only while the footer parse reports truncation (never the
+    whole file unless the footer genuinely spans it)."""
+    f.seek(0)
+    if total < 4 or f.read(4) != struct.pack(">i", MAGIC):
+        return None
+    size = min(_PROBE_PREFIX, total)
+    while True:
+        f.seek(0)
+        try:
+            h = parse_footer(f.read(size))
+        except TruncatedFooter:
+            if size >= total:
+                return None
+            size = min(size * 8, total)
+            continue
+        except ContainerError:
+            return None
+        if total - h.total_compressed_size() < 0:
+            return None
+        return h
+
+
+def read_container_fp(f: BinaryIO):
+    """Parse an open ``.dcz`` stream → ``(header, data_start)`` reading only
+    O(footer) bytes: a bounded header-first probe, then the trailing 8-byte
+    pointer + seek to the footer.  This matches the reference's O(1) footer
+    access (``CpuCompressionService.java:365-388``; its footer-last layout
+    exists precisely so multi-GB archives never get slurped,
+    ``docs/FILE_FORMAT.md:253-259``)."""
+    f.seek(0, 2)
+    total = f.tell()
+    # Old header-first layout (header at offset 0, payloads at the end)
+    h = _probe_header_first(f, total)
+    if h is not None:
+        return h, total - h.total_compressed_size()
+    if total < FOOTER_POINTER_LEN:
+        raise ContainerError("file too small for a .dcz container")
+    f.seek(total - FOOTER_POINTER_LEN)
+    (footer_start,) = struct.unpack(">q", f.read(FOOTER_POINTER_LEN))
+    if footer_start < 0 or footer_start >= total - FOOTER_POINTER_LEN:
+        raise ContainerError(f"invalid footer position: {footer_start}")
+    f.seek(footer_start)
+    h = parse_footer(f.read(total - FOOTER_POINTER_LEN - footer_start))
+    return h, 0
+
+
 def read_container(path: str):
     """Return ``(header, data_start)`` supporting both layouts.
 
     Mirrors the reference's dual-format probe
     (``CpuCompressionService.java:333-393``): try header-first at offset 0,
-    else read the trailing 8-byte footer pointer.
+    else read the trailing 8-byte footer pointer.  Reads O(footer) bytes,
+    not O(file) — see :func:`read_container_fp`.
     """
     with open(path, "rb") as f:
-        data = f.read()
-    total = len(data)
-    # Old header-first layout
-    try:
-        h = parse_footer(data, 0)
-        data_start = total - h.total_compressed_size()
-        if data_start < 0:
-            raise ContainerError("bad header-first layout")
-        return h, data_start
-    except ContainerError:
-        pass
-    if total < FOOTER_POINTER_LEN:
-        raise ContainerError("file too small for a .dcz container")
-    (footer_start,) = struct.unpack(">q", data[-FOOTER_POINTER_LEN:])
-    if footer_start < 0 or footer_start >= total - FOOTER_POINTER_LEN:
-        raise ContainerError(f"invalid footer position: {footer_start}")
-    h = parse_footer(data, footer_start)
-    return h, 0
+        return read_container_fp(f)
 
 
 def scan_for_footer(path: str, window: int = 64 * 1024):
     """Scan the last ``window`` bytes for a parsable footer (integrity-check
-    fallback, mirroring ``CpuCompressionService.verifyIntegrity:644-696``)."""
+    fallback, mirroring ``CpuCompressionService.verifyIntegrity:644-696``).
+    Candidate offsets come from searching for the big-endian magic, not from
+    attempting a parse at every byte position."""
     with open(path, "rb") as f:
         f.seek(0, 2)
         total = f.tell()
         w = min(window, total)
         f.seek(total - w)
         buf = f.read(w)
-    for off in range(0, max(w - 100, 0)):
+    magic_be = struct.pack(">i", MAGIC)
+    off = buf.find(magic_be)
+    while off != -1:
         try:
             h = parse_footer(buf, off)
+            if h.num_chunks > 0 and h.original_file_size > 0:
+                return h
         except ContainerError:
-            continue
-        if h.num_chunks > 0 and h.original_file_size > 0:
-            return h
+            pass
+        off = buf.find(magic_be, off + 1)
     return None

@@ -2,6 +2,7 @@
 (``docs/FILE_FORMAT.md``, ``core/CompressionHeader.java:51-144``), footer-last
 + legacy header-first reads, v2 gap-array extension."""
 
+import io
 import struct
 
 import numpy as np
@@ -15,6 +16,8 @@ from datacomp_tpu.core import (
     ContainerHeader,
     parse_footer,
     read_container,
+    read_container_fp,
+    scan_for_footer,
     serialize_footer,
     write_container,
 )
@@ -155,3 +158,79 @@ def test_utf8_filename():
     h = mk_header(name="données_压缩.bin")
     h2 = parse_footer(serialize_footer(h))
     assert h2.original_file_name == "données_压缩.bin"
+
+
+class _CountingFile(io.BytesIO):
+    """BytesIO that records how many bytes each read returned."""
+
+    def __init__(self, data: bytes):
+        super().__init__(data)
+        self.bytes_read = 0
+
+    def read(self, n=-1):
+        b = super().read(n)
+        self.bytes_read += len(b)
+        return b
+
+
+def test_read_container_is_o_footer():
+    """A footer-last archive parse must read O(footer) bytes, never the
+    payload (reference parity: the footer-last layout's entire point,
+    ``docs/FILE_FORMAT.md:253-259``)."""
+    h = mk_header(nchunks=4)
+    payload = b"\xAB" * (32 << 20)  # 32 MB payload the reader must not touch
+    # make metadata self-consistent with the giant payload
+    for c in h.chunks:
+        c.compressed_size = len(payload) // 4
+        c.compressed_offset = c.index * (len(payload) // 4)
+    buf = io.BytesIO()
+    write_container(buf, h, [payload])
+    f = _CountingFile(buf.getvalue())
+    h2, data_start = read_container_fp(f)
+    assert h2.num_chunks == 4 and data_start == 0
+    footer_len = len(serialize_footer(h))
+    # probe prefix + pointer + footer — nowhere near the 32 MB payload
+    assert f.bytes_read <= footer_len + 8 + 8192, f.bytes_read
+
+
+def test_read_container_header_first_bounded_probe():
+    """Legacy header-first reads grow the prefix only to the footer size."""
+    h = mk_header(nchunks=40)  # footer ≈ 23 KB > the 4 KB initial probe
+    payloads = [b"p" * c.compressed_size for c in h.chunks]
+    buf = io.BytesIO()
+    buf.write(serialize_footer(h))
+    for p in payloads:
+        buf.write(p)
+    buf.write(b"\xCD" * (8 << 20))  # trailing junk payload space
+    f = _CountingFile(buf.getvalue())
+    h2, data_start = read_container_fp(f)
+    assert h2.num_chunks == 40
+    footer_len = len(serialize_footer(h))
+    assert f.bytes_read <= 8 * footer_len + 8192, f.bytes_read
+
+
+def test_scan_for_footer_finds_valid_footer(tmp_path):
+    h = mk_header(nchunks=2)
+    p = tmp_path / "x.dcz"
+    with open(p, "wb") as f:
+        write_container(f, h, [b"a" * 50, b"b" * 51])
+    found = scan_for_footer(str(p))
+    assert found is not None and found.num_chunks == 2
+
+
+def test_scan_for_footer_skips_decoy_magic(tmp_path):
+    """Magic bytes inside the payload must not derail the scan."""
+    h = mk_header(nchunks=2)
+    decoy = struct.pack(">i", MAGIC) * 5
+    p = tmp_path / "decoy.dcz"
+    with open(p, "wb") as f:
+        write_container(f, h, [decoy + b"a" * 34, b"b" * 51])
+    found = scan_for_footer(str(p))
+    assert found is not None and found.num_chunks == 2
+    assert found.original_file_name == "input.bin"
+
+
+def test_scan_for_footer_no_footer(tmp_path):
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"\x00" * 4096)
+    assert scan_for_footer(str(p)) is None

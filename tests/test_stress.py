@@ -124,7 +124,19 @@ def test_large_file_scalability(tmp_path):
             f"compress grew peak RSS by {peak_mb - before_mb:.0f} MB"
         )
         out = src + ".out"
+        dec_before_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         svc.decompress(dcz, out)
+        dec_peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        # O(footer) container reads: decompress must never slurp the archive
+        # (the footer here is ~36 KB; the old read() cost ~700 MB of RSS)
+        assert dec_peak_mb - dec_before_mb < 400, (
+            f"decompress grew peak RSS by {dec_peak_mb - dec_before_mb:.0f} MB"
+        )
+        shallow_ok = svc.verify_integrity(dcz)
+        ver_peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        assert shallow_ok and ver_peak_mb - dec_peak_mb < 100, (
+            f"shallow verify grew peak RSS by {ver_peak_mb - dec_peak_mb:.0f} MB"
+        )
     import filecmp
 
     assert filecmp.cmp(src, out, shallow=False)

@@ -147,10 +147,19 @@ def run_kernel_bench(
                 best = min(best, time.perf_counter() - t0)
             times[K] = best
         k1, k2 = min(k_points), max(k_points)
-        per = max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
+        per = (times[k2] - times[k1]) / (k2 - k1)
+        # Sub-ms kernels on noisy shared hosts can produce a ≤ 0 slope (the
+        # two chain timings differ by less than scheduler jitter).  Fall back
+        # to the chained-run mean — an upper bound that includes the dispatch
+        # constant but is strictly positive — and flag it, so the suite never
+        # emits 0/negative numbers (round-1 flake: test_benchmark.py).
+        noise_floored = per <= 1e-6
+        if noise_floored:
+            per = max(times[k2] / k2, 1e-6)
         results[name] = {
-            "ms_per_chunk": round(per * 1e3, 3),
+            "ms_per_chunk": max(round(per * 1e3, 3), 0.001),
             "mbps": round(bytes_per / 1e6 / per, 1) if bytes_per else None,
+            "noise_floored": noise_floored,
         }
     return results
 

@@ -165,4 +165,32 @@ def load_config(path: Optional[str] = None, **overrides) -> AppConfig:
             section = _apply_section(section, overrides[name])
         sections[name] = section
 
-    return AppConfig(**sections)
+    cfg = AppConfig(**sections)
+    _validate(cfg)
+    return cfg
+
+
+def _validate(cfg: AppConfig) -> None:
+    """Central config diagnostics shared by every entry point (CLI, services,
+    benchmark) so interactions like max_code_len × codebook_mode are flagged
+    exactly once at load time, not per backend."""
+    import logging
+
+    comp = cfg.compression
+    if comp.codebook_mode not in ("java", "fast", "device"):
+        raise ValueError(
+            f"codebook-mode must be java|fast|device, got {comp.codebook_mode!r}"
+        )
+    if comp.max_code_len and not 1 <= comp.max_code_len <= 32:
+        raise ValueError(f"max-code-len must be 0 (unlimited) or 1..32, got {comp.max_code_len}")
+    if comp.max_code_len and comp.codebook_mode == "device":
+        logging.getLogger(__name__).warning(
+            "max_code_len=%d is ignored in codebook_mode='device' (the "
+            "on-device builder emits unconstrained optimal codes); use "
+            "codebook_mode='fast' for length-limited codebooks",
+            comp.max_code_len,
+        )
+    if comp.format_version >= 2 and comp.subblock_symbols % 32:
+        raise ValueError(
+            f"subblock-symbols must be a multiple of 32, got {comp.subblock_symbols}"
+        )

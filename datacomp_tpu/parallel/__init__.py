@@ -2,9 +2,11 @@
 
 from .mesh import make_mesh
 from .sharded import (
+    check_decompress_step_params,
     make_sharded_compress_step,
     make_sharded_decompress_step,
     sharded_compress_arrays,
+    sharded_decompress_arrays,
 )
 from .multihost import (
     ChunkAssignment,
@@ -19,9 +21,11 @@ from .multihost import (
 
 __all__ = [
     "make_mesh",
+    "check_decompress_step_params",
     "make_sharded_compress_step",
     "make_sharded_decompress_step",
     "sharded_compress_arrays",
+    "sharded_decompress_arrays",
     "ChunkAssignment",
     "assemble_header",
     "compress_multihost",

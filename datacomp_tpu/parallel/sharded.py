@@ -89,6 +89,40 @@ def sharded_compress_arrays(mesh: Mesh, data_batch, valid_batch, subblock: int =
     return step(jnp.asarray(data_batch), valid)
 
 
+def check_decompress_step_params(
+    code_lengths_batch, subblock: int, syms_per_step: int, cmp_len: int
+) -> None:
+    """Validate static decode parameters against every codebook in a batch.
+
+    The sharded decompress step silently decodes garbage if ``cmp_len`` is
+    below a chunk's max code length (the compare mask saturates) or
+    ``syms_per_step`` exceeds what one 32-bit refill can sustain — so callers
+    MUST run this host-side check (or compute the params from the same batch
+    with ``max_code_len``/``syms_per_refill``/``cmp_len_bucket``) before
+    dispatch.  Raises ValueError instead of corrupting output."""
+    from ..ops.decode import max_code_len, syms_per_refill
+
+    ml = max((max_code_len(lens) for lens in code_lengths_batch), default=0)
+    if ml > 16:
+        raise ValueError(
+            f"batch contains a {ml}-bit codebook; device decode supports <= 16 "
+            "bits (route deep-codebook chunks to the host decoder)"
+        )
+    if cmp_len < ml:
+        raise ValueError(
+            f"cmp_len={cmp_len} < deepest codebook in batch ({ml} bits); "
+            "decode would silently corrupt output"
+        )
+    if subblock % syms_per_step:
+        raise ValueError(f"syms_per_step={syms_per_step} must divide subblock={subblock}")
+    if ml and syms_per_step > syms_per_refill(ml, subblock):
+        raise ValueError(
+            f"syms_per_step={syms_per_step} exceeds the refill budget for "
+            f"{ml}-bit codes (max {syms_per_refill(ml, subblock)}); decode "
+            "would under-refill and corrupt output"
+        )
+
+
 def make_sharded_decompress_step(
     mesh: Mesh,
     subblock: int,
@@ -106,7 +140,9 @@ def make_sharded_decompress_step(
 
     Per-batch static ``syms_per_step``/``cmp_len`` must cover the deepest
     codebook in the batch (``syms_per_refill(max_len, subblock)`` /
-    ``cmp_len_bucket(max_len)`` over all chunks).
+    ``cmp_len_bucket(max_len)`` over all chunks) — validate with
+    :func:`check_decompress_step_params` before dispatch, or use
+    :func:`sharded_decompress_arrays` which does both.
 
     Takes per-chunk ``words (B, W+2) uint32``, ``gaps (B, num_subblocks)``,
     ``limits (B, 16)``, ``adj (B, 16)``, ``sym (B, 256)``; returns
@@ -132,3 +168,37 @@ def make_sharded_decompress_step(
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def sharded_decompress_arrays(
+    mesh: Mesh, words_batch, gaps_batch, code_lengths_batch, subblock: int
+):
+    """Convenience wrapper: build tables, pick safe static decode params from
+    the batch's deepest codebook, validate, and run the sharded decompress
+    step on host arrays.  Returns ``(B, num_subblocks * subblock) uint8``
+    (callers slice each row to the chunk's original size)."""
+    import numpy as np
+
+    from ..ops.decode import (
+        build_decode_tables,
+        cmp_len_bucket,
+        max_code_len,
+        syms_per_refill,
+    )
+
+    code_lengths_batch = [np.asarray(lens) for lens in code_lengths_batch]
+    ml = max((max_code_len(lens) for lens in code_lengths_batch), default=1)
+    syms_per_step = syms_per_refill(ml, subblock)
+    cmp_len = cmp_len_bucket(ml)
+    check_decompress_step_params(code_lengths_batch, subblock, syms_per_step, cmp_len)
+    gaps_batch = np.asarray(gaps_batch, dtype=np.uint32)
+    num_subblocks = gaps_batch.shape[1]
+    tables = [build_decode_tables(lens) for lens in code_lengths_batch]
+    step = make_sharded_decompress_step(mesh, subblock, num_subblocks, syms_per_step, cmp_len)
+    return step(
+        jnp.asarray(np.asarray(words_batch, dtype=np.uint32)),
+        jnp.asarray(gaps_batch),
+        jnp.asarray(np.stack([t[0] for t in tables])),
+        jnp.asarray(np.stack([t[1] for t in tables])),
+        jnp.asarray(np.stack([t[2] for t in tables])),
+    )

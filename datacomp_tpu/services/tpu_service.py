@@ -139,16 +139,8 @@ class TpuChunkCodec(ChunkCodec):
 
     def __init__(self, config: AppConfig):
         self.config = config
-        if (
-            config.compression.max_code_len
-            and config.compression.codebook_mode == "device"
-        ):
-            logger.warning(
-                "max_code_len=%d is ignored in codebook_mode='device' (the "
-                "on-device builder emits unconstrained optimal codes); use "
-                "codebook_mode='fast' for length-limited codebooks",
-                config.compression.max_code_len,
-            )
+        # max_code_len × codebook_mode interactions are diagnosed centrally
+        # in config.load_config(), shared by all entry points
         self.freq = TpuFrequencyService(config)
         self._cpu = CpuChunkCodec(config)  # embedded fallback + v1 decode
         self.padded_size = config.chunk_size_bytes

@@ -117,3 +117,43 @@ def test_sharded_decompress_roundtrip(mesh8):
         step(wbatch, gaps[:, :nsub].astype(np.uint32), limits, adj, sym)
     )
     assert np.array_equal(decoded.reshape(B, CH), batch)
+
+    # the validated convenience wrapper must agree
+    from datacomp_tpu.parallel import sharded_decompress_arrays
+
+    decoded2 = np.asarray(
+        sharded_decompress_arrays(
+            mesh8, wbatch, gaps[:, :nsub].astype(np.uint32),
+            [lengths[i] for i in range(B)], SUB,
+        )
+    )
+    assert np.array_equal(decoded2.reshape(B, CH), batch)
+
+
+def test_decompress_step_params_validated():
+    """Static decode params that cannot cover the batch's deepest codebook
+    must be rejected host-side, not silently corrupt output (advisor r1)."""
+    from datacomp_tpu.parallel import check_decompress_step_params
+
+    deep = np.zeros(256, np.int32)
+    deep[:64] = 12  # 12-bit codebook
+    shallow = np.zeros(256, np.int32)
+    shallow[:4] = 2
+    batch = [shallow, deep]
+    # cmp_len below the deepest codebook
+    with pytest.raises(ValueError, match="cmp_len"):
+        check_decompress_step_params(batch, 512, 2, cmp_len=10)
+    # syms_per_step exceeding the refill budget for 12-bit codes
+    with pytest.raises(ValueError, match="refill"):
+        check_decompress_step_params(batch, 512, 4, cmp_len=12)
+    # syms_per_step must divide the sub-block
+    with pytest.raises(ValueError, match="divide"):
+        check_decompress_step_params(batch, 511, 2, cmp_len=12)
+    # >16-bit codebooks cannot decode on device at all
+    deep17 = np.zeros(256, np.int32)
+    deep17[0] = 17
+    deep17[1] = 17
+    with pytest.raises(ValueError, match="16"):
+        check_decompress_step_params([deep17], 512, 1, cmp_len=16)
+    # a covering configuration passes
+    check_decompress_step_params(batch, 512, 2, cmp_len=12)

@@ -97,6 +97,20 @@ class TestConfig:
         cfg = load_config(compression={"cpu_threads": 3})
         assert cfg.effective_cpu_threads() == 3
 
+    def test_central_validation(self, caplog):
+        import pytest
+
+        with pytest.raises(ValueError, match="codebook-mode"):
+            load_config(compression={"codebook_mode": "bogus"})
+        with pytest.raises(ValueError, match="max-code-len"):
+            load_config(compression={"max_code_len": 99})
+        with pytest.raises(ValueError, match="subblock"):
+            load_config(compression={"format_version": 2, "subblock_symbols": 100})
+        # max_code_len × device mode warns once, centrally, for ALL backends
+        with caplog.at_level(logging.WARNING, logger="datacomp_tpu.config"):
+            load_config(compression={"max_code_len": 12, "codebook_mode": "device"})
+        assert any("ignored in codebook_mode='device'" in r.message for r in caplog.records)
+
 
 class TestLogging:
     def test_setup_and_metrics_log(self, tmp_path, monkeypatch):

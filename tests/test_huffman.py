@@ -268,3 +268,62 @@ class TestLengthLimited:
             for p in seen:
                 assert not bits.startswith(p) and not p.startswith(bits)
             seen.add(bits)
+
+
+class TestJavaPQDifferential:
+    """Differential fuzz of the production ``_JavaHeap`` tree build against a
+    second, independently written OpenJDK PriorityQueue simulation
+    (``tests/oracle_javapq.py``).  Optimality tests cannot pin down
+    tie-break-dependent code *lengths*; two implementations written from the
+    spec by different paths agreeing across heavy-tie histograms can."""
+
+    @staticmethod
+    def _fuzz_histograms(rng, n_cases):
+        for i in range(n_cases):
+            kind = i % 6
+            h = np.zeros(256, np.int64)
+            if kind == 0:  # dense tiny values: maximal tie pressure
+                h[:] = rng.integers(1, 5, 256)
+            elif kind == 1:  # sparse with ties
+                k = int(rng.integers(2, 40))
+                syms = rng.choice(256, k, replace=False)
+                h[syms] = rng.integers(1, 4, k)
+            elif kind == 2:  # random magnitudes
+                k = int(rng.integers(2, 257))
+                syms = rng.choice(256, k, replace=False)
+                h[syms] = rng.integers(1, 1 << int(rng.integers(1, 31)), k)
+            elif kind == 3:  # power-of-two plateaus (merged-node ties)
+                h[:] = np.int64(1) << rng.integers(0, 8, 256)
+            elif kind == 4:  # zipf-ish skew
+                k = int(rng.integers(2, 257))
+                syms = rng.choice(256, k, replace=False)
+                h[syms] = (1e6 / (np.arange(k) + 1) ** 1.3).astype(np.int64) + 1
+            else:  # all-equal: pure sift-order stress
+                h[:] = int(rng.integers(1, 100))
+            yield h
+
+    def test_differential_fuzz_lengths_identical(self, rng):
+        from oracle_javapq import oracle_code_lengths
+
+        n = int(__import__("os").environ.get("DCZ_FUZZ_CASES", "2000"))
+        for case, h in enumerate(self._fuzz_histograms(rng, n)):
+            got = build_code_lengths(h, mode="java")
+            want = oracle_code_lengths(h)
+            assert np.array_equal(got, want), (
+                f"case {case}: _JavaHeap and OpenJDK-spec oracle disagree on "
+                f"code lengths\nhist nonzero: {np.nonzero(h)[0][:20]}..."
+            )
+
+    def test_differential_edge_cases(self):
+        from oracle_javapq import oracle_code_lengths
+
+        for h in (
+            np.zeros(256, np.int64),                         # empty
+            np.eye(256, dtype=np.int64)[7] * 5,              # single symbol
+            np.r_[np.ones(2, np.int64), np.zeros(254, np.int64)],  # two
+            np.arange(256, dtype=np.int64),                  # includes a zero
+            np.full(256, np.int64(10**12)),                  # huge equal freqs
+        ):
+            assert np.array_equal(
+                build_code_lengths(h, mode="java"), oracle_code_lengths(h)
+            )

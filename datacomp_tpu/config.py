@@ -34,11 +34,21 @@ class CompressionConfig:
     subblock_symbols: int = 4032
     format_version: int = 1  # 1 = reference-bit-compatible, 2 = +gap arrays
     codebook_mode: str = "java"  # "java" = bit-exact reference tie-breaks, "fast"
-    # Cap on per-symbol code length (0 = unlimited, reference parity).  When a
-    # chunk's optimal code is deeper, the optimal length-limited code is built
+    # Cap on per-symbol code length (0 = unlimited, reference parity;
+    # -1/"auto" = shallowest cap costing < 0.5% extra bits).  When a chunk's
+    # optimal code is deeper, the optimal length-limited code is built
     # instead (package-merge).  Codes ≤ 16 keep v2 decode on-device; ≤ 10/8
     # raise the device decoder's symbols-per-refill rate to 3/4.
     max_code_len: int = 0
+
+    def effective_max_code_len(self) -> int:
+        """v2 containers default to the auto cap (the format exists for
+        device decode, whose speed scales with 32/max_len); v1 keeps exact
+        reference parity.  Explicit values — including 32 as an effective
+        opt-out — pass through."""
+        if self.max_code_len == 0 and self.format_version >= 2:
+            return -1
+        return self.max_code_len
 
 
 @dataclass(frozen=True)
@@ -119,6 +129,8 @@ def _apply_section(section_obj, overrides: dict):
     clean = {}
     for k, v in overrides.items():
         key = k.replace("-", "_")
+        if key == "max_code_len" and v == "auto":
+            v = -1
         if key in valid:
             clean[key] = v
     return replace(section_obj, **clean)
@@ -155,6 +167,9 @@ def load_config(path: Optional[str] = None, **overrides) -> AppConfig:
                 key = ek[len(prefix) :].lower()
                 for f in fields(section):
                     if f.name == key:
+                        if key == "max_code_len" and ev.strip().lower() == "auto":
+                            env_over[key] = -1
+                            continue
                         try:
                             env_over[key] = _coerce(ev, type(getattr(section, key)))
                         except ValueError:
@@ -181,8 +196,10 @@ def _validate(cfg: AppConfig) -> None:
         raise ValueError(
             f"codebook-mode must be java|fast|device, got {comp.codebook_mode!r}"
         )
-    if comp.max_code_len and not 1 <= comp.max_code_len <= 32:
-        raise ValueError(f"max-code-len must be 0 (unlimited) or 1..32, got {comp.max_code_len}")
+    if comp.max_code_len not in (-1, 0) and not 1 <= comp.max_code_len <= 32:
+        raise ValueError(
+            f"max-code-len must be -1/'auto', 0 (unlimited) or 1..32, got {comp.max_code_len}"
+        )
     if comp.max_code_len and comp.codebook_mode == "device":
         logging.getLogger(__name__).warning(
             "max_code_len=%d is ignored in codebook_mode='device' (the "

@@ -232,6 +232,44 @@ def _lengths_package_merge(freqs: np.ndarray, max_len: int) -> np.ndarray:
     return lengths
 
 
+#: sentinel for max_len: pick the cheapest cap automatically (see
+#: :func:`resolve_auto_cap`)
+AUTO_CAP = -1
+#: candidate caps, shallowest first.  Each tier raises the device decoder's
+#: symbols-per-32-bit-refill rate (``ops/decode.py syms_per_refill``):
+#: ≤8 bits → 4 sym/refill, ≤10 → 3, ≤16 → 2.  256 symbols always fit in
+#: 8 bits, so every tier is feasible for byte data.
+AUTO_CAP_TIERS = (8, 10, 16)
+#: relative compressed-size budget the auto policy may spend for decode speed
+AUTO_CAP_BUDGET = 0.005
+
+
+def resolve_auto_cap(
+    freqs: np.ndarray, lengths_opt: np.ndarray, budget: float = AUTO_CAP_BUDGET
+) -> int:
+    """Pick the shallowest cap whose bit cost over the optimal code stays
+    under ``budget`` (0.5% default); 0 if no tier fits the budget.
+
+    Measured lever (docs/BENCHMARKS.md hot-spot #1): device decode runs
+    ``k = 32 / max_len`` symbols per refill, so capping a 14-bit text
+    codebook to 8 bits doubles decode throughput for (typically) <0.2% size.
+    The histogram is already computed, so each tier costs one package-merge
+    over ≤256 symbols — microseconds against a 16 MB chunk encode.
+    """
+    opt_bits = int(freqs @ lengths_opt.astype(np.int64))
+    if opt_bits <= 0:
+        return 0
+    ml = int(lengths_opt.max())
+    for cap in AUTO_CAP_TIERS:
+        if ml <= cap:
+            return cap  # already within this tier: capping is free
+        capped = _lengths_package_merge(freqs, cap)
+        cost = int(freqs @ capped.astype(np.int64)) - opt_bits
+        if cost <= budget * opt_bits:
+            return cap
+    return 0
+
+
 def build_code_lengths(
     freqs: np.ndarray, mode: str = "java", max_len: int = 0
 ) -> np.ndarray:
@@ -244,12 +282,17 @@ def build_code_lengths(
     ``max_len > 0`` caps code lengths: when the unconstrained code already
     fits it is returned unchanged (so ``mode="java"`` stays bit-exact), else
     the optimal length-limited code is built with package-merge.
+    ``max_len == AUTO_CAP`` picks the shallowest cap costing < 0.5% extra
+    bits (:func:`resolve_auto_cap`) — the default for v2 containers, keeping
+    decode on-device at the highest symbols-per-refill rate.
     """
     freqs = np.asarray(freqs)
     if freqs.shape != (ALPHABET_SIZE,):
         raise ValueError("frequency array must have 256 elements")
-    if max_len < 0 or max_len > MAX_CODE_LEN:
-        raise ValueError(f"max_len must be 0 (unlimited) or 1..{MAX_CODE_LEN}")
+    if max_len < AUTO_CAP or max_len > MAX_CODE_LEN:
+        raise ValueError(
+            f"max_len must be {AUTO_CAP} (auto), 0 (unlimited) or 1..{MAX_CODE_LEN}"
+        )
     nsyms = int(np.count_nonzero(freqs > 0))
     if nsyms == 0:
         return np.zeros(ALPHABET_SIZE, dtype=np.int32)
@@ -258,6 +301,8 @@ def build_code_lengths(
         lengths[int(np.argmax(freqs > 0))] = 1
         return lengths
     lengths = _lengths_java(freqs) if mode == "java" else _lengths_fast(freqs)
+    if max_len == AUTO_CAP:
+        max_len = resolve_auto_cap(freqs, lengths)
     if max_len and int(lengths.max()) > max_len:
         lengths = _lengths_package_merge(freqs, max_len)
     if int(lengths.max()) > MAX_CODE_LEN:

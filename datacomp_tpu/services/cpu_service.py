@@ -60,7 +60,7 @@ class CpuChunkCodec(ChunkCodec):
             lengths, codes = huffman.build_codebook(
                 hist,
                 mode=self.config.compression.codebook_mode,
-                max_len=self.config.compression.max_code_len,
+                max_len=self.config.compression.effective_max_code_len(),
             )
         v2 = self.config.compression.format_version >= 2 and n > 0
         sub = self.config.compression.subblock_symbols

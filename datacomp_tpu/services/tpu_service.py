@@ -235,7 +235,7 @@ class TpuChunkCodec(ChunkCodec):
                 hist = np.asarray(hist_dev).astype(np.int64)
                 lengths, codes = huffman.build_codebook(
                     hist, mode=mode,
-                    max_len=self.config.compression.max_code_len,
+                    max_len=self.config.compression.effective_max_code_len(),
                 )
                 lengths_dev = jax.device_put(lengths, dev)
                 codes_dev = jax.device_put(codes, dev)

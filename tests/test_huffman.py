@@ -327,3 +327,60 @@ class TestJavaPQDifferential:
             assert np.array_equal(
                 build_code_lengths(h, mode="java"), oracle_code_lengths(h)
             )
+
+
+class TestAutoCap:
+    """max_len='auto' policy: shallowest cap costing < 0.5% extra bits
+    (v2 default — keeps device decode at the highest symbols-per-refill)."""
+
+    def test_text_histogram_caps_to_8(self):
+        from datacomp_tpu.core import resolve_auto_cap
+        from datacomp_tpu.utils.testdata import generate_bytes
+
+        data = np.frombuffer(generate_bytes("text", 1 << 20), np.uint8)
+        hist = np.bincount(data, minlength=256).astype(np.int64)
+        opt = build_code_lengths(hist, mode="java")
+        cap = resolve_auto_cap(hist, opt)
+        assert cap == 8  # ~27 distinct symbols: 8-bit cap is near-free
+        capped = build_code_lengths(hist, mode="java", max_len=-1)
+        assert int(capped.max()) <= 8
+        cost = int(hist @ capped.astype(np.int64)) - int(hist @ opt.astype(np.int64))
+        assert cost <= 0.005 * int(hist @ opt.astype(np.int64))
+        assert validate_lengths(capped)
+
+    def test_shallowest_tier_within_budget_is_chosen(self):
+        from datacomp_tpu.core import resolve_auto_cap
+        from datacomp_tpu.core.huffman import AUTO_CAP_TIERS, _lengths_package_merge
+
+        # 10 hot symbols + 200 rare ones: the 8-bit tier is too lossy, a
+        # deeper tier absorbs the rare tail cheaply
+        hist = np.zeros(256, np.int64)
+        hist[:10] = 100_000
+        hist[10:210] = 1
+        opt = build_code_lengths(hist, mode="java")
+        cap = resolve_auto_cap(hist, opt)
+        assert cap in AUTO_CAP_TIERS
+        opt_bits = int(hist @ opt.astype(np.int64))
+        chosen = build_code_lengths(hist, max_len=-1)
+        assert int(chosen.max()) <= cap
+        assert int(hist @ chosen.astype(np.int64)) - opt_bits <= 0.005 * opt_bits
+        # every shallower tier must exceed the budget (else it would be chosen)
+        for t in AUTO_CAP_TIERS:
+            if t >= cap or t >= int(opt.max()):
+                break
+            cost = int(hist @ _lengths_package_merge(hist, t).astype(np.int64)) - opt_bits
+            assert cost > 0.005 * opt_bits, f"tier {t} was within budget but not chosen"
+
+    def test_v2_default_is_auto_v1_is_exact(self):
+        from datacomp_tpu.config import load_config
+
+        v1 = load_config(compression={"format_version": 1})
+        v2 = load_config(compression={"format_version": 2})
+        assert v1.compression.effective_max_code_len() == 0
+        assert v2.compression.effective_max_code_len() == -1
+        # explicit 32 opts v2 out of auto
+        v2x = load_config(compression={"format_version": 2, "max_code_len": 32})
+        assert v2x.compression.effective_max_code_len() == 32
+        # "auto" string accepted from TOML-style overrides
+        va = load_config(compression={"max_code_len": "auto"})
+        assert va.compression.max_code_len == -1

@@ -35,6 +35,79 @@ def _unfoldable_dep(total):
     return (total == jnp.int32(-123456789)).astype(jnp.uint8)
 
 
+def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
+    """Measure the two primitive rates the kernel rooflines are built from,
+    on the CURRENT platform with the same hoist-proof slope method:
+
+    * ``gather_ns`` — per-element cost of a data-dependent vector gather
+      (the decode kernel's only remaining gather is its word refill);
+    * ``mac_per_s`` — sustained f32-accumulate MAC rate of a large matmul
+      (the one-hot-einsum lookups in histogram/encode ride this).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 22
+    rng = np.random.default_rng(0)
+    table = jax.device_put(rng.integers(0, 1 << 30, n, dtype=np.int32))
+    idx = jax.device_put(rng.integers(0, n, n, dtype=np.int32))
+
+    def gather_once(ix):
+        return table[ix].sum()
+
+    m = 1024
+    a = jax.device_put(rng.standard_normal((m, m), dtype=np.float32))
+
+    def matmul_once(x):
+        return jax.lax.dot_general(
+            x, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0, 0].astype(jnp.int32)
+
+    def slope(fn, arg, int_dep):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(x, k):
+            def body(i, carry):
+                acc, x = carry
+                total = fn(x)
+                return acc + total, int_dep(x, total)
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), x))
+            return acc
+
+        times = {}
+        for K in (2, 6):
+            _ = int(chain(arg, k=K))
+            best = float("inf")
+            for _i in range(repeats):
+                t0 = time.perf_counter()
+                _ = int(chain(arg, k=K))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        return max((times[6] - times[2]) / 4, 1e-9)
+
+    g_s = slope(gather_once, idx, lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype))
+    m_s = slope(matmul_once, a,
+                lambda x, t: x + _unfoldable_dep(t).astype(x.dtype))
+    return {
+        "gather_ns": g_s / n * 1e9,
+        "mac_per_s": (m * m * m) / m_s,
+    }
+
+
+#: analytic primitive counts per input byte for each kernel (see the op
+#: modules for the derivations)
+_KERNEL_COSTS = {
+    # one (n,16)^T @ (n,16) contraction → 256 MACs/byte on the MXU
+    "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0},
+    # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each
+    "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0},
+    # 1 word-refill gather per syms_per_step symbols + a 16x16 one-hot
+    # symbol einsum per symbol (filled in at bench time: k depends on data)
+    "decode": {"macs_per_byte": 272.0, "gathers_per_byte": None},
+}
+
+
 def run_kernel_bench(
     size_mb: int = 16,
     kind: str = "text",
@@ -42,10 +115,15 @@ def run_kernel_bench(
     k_points: tuple = (2, 6),
     repeats: int = 3,
     kernels: Optional[Iterable[str]] = None,
+    roofline: bool = True,
 ) -> Dict[str, dict]:
     """Slope-time the device kernels on a ``size_mb`` chunk of ``kind`` data.
 
-    Returns ``{kernel: {"ms_per_chunk": float, "mbps": float}}``.
+    Returns ``{kernel: {"ms_per_chunk", "mbps", "bound_mbps", "efficiency"}}``
+    where ``bound_mbps`` is the roofline computed from measured primitive
+    rates (gather floor for decode, MXU MAC floor for histogram/encode) —
+    "fast" is reported as a ratio against this platform's floor, not as an
+    adjective.
     """
     import jax
     import jax.numpy as jnp
@@ -161,6 +239,31 @@ def run_kernel_bench(
             "mbps": round(bytes_per / 1e6 / per, 1) if bytes_per else None,
             "noise_floored": noise_floored,
         }
+
+    if roofline:
+        prim = calibrate_primitives(repeats=repeats)
+        for name, r in results.items():
+            cost = _KERNEL_COSTS.get(name)
+            if cost is None or r["mbps"] is None:
+                r["bound_mbps"] = None
+                r["efficiency"] = None
+                continue
+            gathers = cost["gathers_per_byte"]
+            if gathers is None:  # decode: 1 refill gather per k symbols
+                gathers = 1.0 / sps
+            mac_floor_s = cost["macs_per_byte"] / prim["mac_per_s"]  # s/byte
+            gather_floor_s = gathers * prim["gather_ns"] * 1e-9
+            floor_s = max(mac_floor_s, gather_floor_s)
+            bound = 1.0 / floor_s / 1e6  # MB/s
+            r["bound_mbps"] = round(bound, 1)
+            r["efficiency"] = round(r["mbps"] / bound, 3)
+            r["bound_kind"] = (
+                "gather" if gather_floor_s >= mac_floor_s else "mxu-mac"
+            )
+        results["_primitives"] = {
+            "gather_ns": round(prim["gather_ns"], 3),
+            "mac_per_s": round(prim["mac_per_s"], 1),
+        }
     return results
 
 
@@ -169,9 +272,21 @@ def format_kernel_results(results: Dict[str, dict], size_mb: int, fmt: str = "co
         import json
 
         return json.dumps({"chunk_mb": size_mb, "kernels": results}, indent=2)
-    lines = ["", f"Device kernel microbenchmarks ({size_mb} MB chunk, slope-timed)", "=" * 60]
+    lines = ["", f"Device kernel microbenchmarks ({size_mb} MB chunk, slope-timed)", "=" * 78]
     for name, r in results.items():
+        if name.startswith("_"):
+            continue
         tp = f"{r['mbps']:10.1f} MB/s" if r["mbps"] else " " * 15
-        lines.append(f"  {name:<12} {r['ms_per_chunk']:10.3f} ms {tp}")
-    lines.append("=" * 60)
+        line = f"  {name:<12} {r['ms_per_chunk']:10.3f} ms {tp}"
+        if r.get("bound_mbps"):
+            line += (f"  roofline {r['bound_mbps']:10.1f} MB/s "
+                     f"[{r['bound_kind']}] eff {r['efficiency']:.0%}")
+        lines.append(line)
+    prim = results.get("_primitives")
+    if prim:
+        lines.append(
+            f"  primitives: gather {prim['gather_ns']:.2f} ns/elem, "
+            f"matmul {prim['mac_per_s'] / 1e12:.2f} TMAC/s"
+        )
+    lines.append("=" * 78)
     return "\n".join(lines)

@@ -84,9 +84,16 @@ def test_kernel_microbench_runs():
     from datacomp_tpu.benchmark.kernels import format_kernel_results, run_kernel_bench
 
     res = run_kernel_bench(size_mb=1, kind="text", k_points=(1, 2), repeats=1)
-    assert set(res) == {"histogram", "codebook", "encode", "decode"}
+    assert {"histogram", "codebook", "encode", "decode"} <= set(res)
     for name, r in res.items():
+        if name.startswith("_"):
+            continue
         assert r["ms_per_chunk"] > 0, name
+    # roofline fields: bound + efficiency for every byte-rated kernel
+    for name in ("histogram", "encode", "decode"):
+        assert res[name]["bound_mbps"] and res[name]["bound_mbps"] > 0
+        assert res[name]["efficiency"] is not None
+    assert res["_primitives"]["gather_ns"] > 0
     text = format_kernel_results(res, 1)
     assert "histogram" in text and "decode" in text
     js = format_kernel_results(res, 1, "json")

@@ -157,3 +157,79 @@ def test_decompress_step_params_validated():
         check_decompress_step_params([deep17], 512, 1, cmp_len=16)
     # a covering configuration passes
     check_decompress_step_params(batch, 512, 2, cmp_len=12)
+
+
+def test_mixed_batch_deep_chunk_routes_to_host(mesh8):
+    """A batch containing one >16-bit-codebook chunk: the validated device
+    wrapper rejects the whole batch; the dispatcher pattern device-decodes
+    the shallow chunks and host-decodes the deep one (the same routing
+    TpuChunkCodec.decode_chunk applies per chunk)."""
+    from datacomp_tpu.core import build_codebook
+    from datacomp_tpu.core.bitio import decode_bitstream_py, encode_bitstream
+    from datacomp_tpu.ops import max_code_len
+    from datacomp_tpu.parallel import (
+        check_decompress_step_params,
+        sharded_decompress_arrays,
+    )
+
+    CH = 8192
+    SUB = 512
+    B = 8
+    blob = generate_bytes("text", B * CH)
+    batch = np.frombuffer(blob, np.uint8).reshape(B, CH).copy()
+    # replace chunk 3 with Fibonacci-skewed data (17-bit optimal code); the
+    # filler goes to the MOST frequent symbol so the rare chain keeps depth
+    fib = [1, 1]
+    while len(fib) < 18:
+        fib.append(fib[-1] + fib[-2])
+    fib[-1] += CH - sum(fib)
+    deep = np.concatenate([np.full(c, s % 256, np.uint8) for s, c in enumerate(fib)])
+    batch[3] = deep
+
+    lengths, codes, payloads = [], [], []
+    for i in range(B):
+        h = np.bincount(batch[i], minlength=256).astype(np.int64)
+        l, c = build_codebook(h, mode="java")
+        lengths.append(l)
+        codes.append(c)
+        payloads.append(encode_bitstream(batch[i], l, c))
+    assert max_code_len(lengths[3]) > 16
+
+    with pytest.raises(ValueError, match="16"):
+        check_decompress_step_params(lengths, SUB, 2, 16)
+
+    # dispatcher: host for deep chunks, device for the rest
+    deep_ix = [i for i in range(B) if max_code_len(lengths[i]) > 16]
+    shallow_ix = [i for i in range(B) if i not in deep_ix]
+    for i in deep_ix:
+        got = decode_bitstream_py(payloads[i], CH, lengths[i])
+        assert np.array_equal(got, batch[i])
+    # device path needs the gap arrays: re-encode shallow chunks with gaps
+    from datacomp_tpu import native
+    from datacomp_tpu.ops import payload_to_words
+
+    if not native.is_available():
+        pytest.skip("native codec unavailable for gap re-encode")
+    # pad the device sub-batch to the mesh size by repeating the first
+    # shallow chunk (padding rows are decoded and discarded)
+    sub_batch = list(shallow_ix)
+    while len(sub_batch) % 8:
+        sub_batch.append(shallow_ix[0])
+    words, gaps = [], []
+    for i in sub_batch:
+        p, g = native.encode(batch[i], lengths[i], codes[i], subblock=SUB)
+        words.append(payload_to_words(bytes(p)))
+        gpad = np.zeros(CH // SUB, np.uint32)
+        gpad[: g.size] = g
+        gaps.append(gpad)
+    W = max(w.size for w in words)
+    wb = np.zeros((len(sub_batch), W), np.uint32)
+    for j, w in enumerate(words):
+        wb[j, : w.size] = w
+    out = np.asarray(
+        sharded_decompress_arrays(
+            mesh8, wb, np.stack(gaps), [lengths[i] for i in sub_batch], SUB
+        )
+    ).reshape(len(sub_batch), CH)
+    for j, i in zip(range(len(shallow_ix)), shallow_ix):
+        assert np.array_equal(out[j], batch[i])

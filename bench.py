@@ -28,6 +28,25 @@ import time
 
 BASELINE_MBPS = 12.6  # reference GPU-mode end-to-end compression
 
+# Relay transfer characteristics measured by tools/profile_relay.py on this
+# rig (TPU v5e behind the axon loopback relay; ~25 ms latency each way,
+# effectively half-duplex).  Overridable per environment.  The TPU service's
+# end-to-end ceiling is transfer-bound: every input byte goes up once and
+# ratio×bytes come back down over the same serialized link.
+RELAY_H2D_MBPS = float(os.environ.get("RELAY_H2D_MBPS", "55.8"))
+RELAY_D2H_MBPS = float(os.environ.get("RELAY_D2H_MBPS", "64.6"))
+
+
+def relay_ceiling_mbps(overall_ratio: float, raw_frac: float = 0.0) -> float:
+    """Half-duplex transfer ceiling for TPU compress at a given OVERALL
+    output ratio.  ``raw_frac`` = fraction of input bytes the host-side
+    entropy pre-check stores raw (ratio 1.0) without touching the relay;
+    only the remaining bytes ride the link, at their own ratio."""
+    live = 1.0 - raw_frac
+    live_ratio = max(min((overall_ratio - raw_frac) / max(live, 1e-9), 1.0), 0.0)
+    s_per_mb = live / RELAY_H2D_MBPS + live * live_ratio / RELAY_D2H_MBPS
+    return 1.0 / s_per_mb if s_per_mb > 0 else float("inf")
+
 
 def _time_service(svc, src, dcz, out, iters):
     svc.compress(src, dcz)  # warmup / compile / relay handshake
@@ -129,6 +148,14 @@ def main() -> int:
         return 1
     best = max(measured, key=lambda k: measured[k]["compress_mbps"])
     mbps = measured[best]["compress_mbps"]
+    extra = {}
+    if "tpu" in measured:
+        # transfer-bound ceiling on THIS rig's relay: the mixed corpus is
+        # 1/4 random, which the host entropy pre-check stores raw with zero
+        # relay traffic; the rest rides the half-duplex link
+        ceiling = relay_ceiling_mbps(measured["tpu"]["ratio"], raw_frac=0.25)
+        extra["tpu_relay_ceiling_mbps"] = round(ceiling, 1)
+        extra["tpu_vs_ceiling"] = round(measured["tpu"]["compress_mbps"] / ceiling, 2)
     out_json = json.dumps(
         {
             "metric": "end_to_end_compress_throughput",
@@ -139,6 +166,7 @@ def main() -> int:
             "file_mb": size_mb,
             "iters": iters,
             **{f"{k}_{m}": v for k, r in measured.items() for m, v in r.items()},
+            **extra,
             **({"tpu_error": results["tpu_error"]} if "tpu_error" in results else {}),
         }
     )

@@ -226,7 +226,7 @@ force-cpu = false
 platform = "any"           # tpu | cpu | any
 device-index = -1
 fallback-on-error = true
-parallel-chunks = 2
+parallel-chunks = 3
 
 [datacomp.benchmark]
 warmup-iterations = 3

@@ -58,8 +58,9 @@ class DeviceConfig:
     platform: str = "any"  # "tpu", "cpu", "any"
     device_index: int = -1  # -1 = auto
     fallback_on_error: bool = True
-    # Number of chunks resident on device concurrently (sized against HBM).
-    parallel_chunks: int = 2
+    # Chunks in flight concurrently (streams overlap host work + transfer
+    # latencies; measured +24% from a second same-direction relay stream).
+    parallel_chunks: int = 3
 
 
 @dataclass(frozen=True)

@@ -197,20 +197,58 @@ class TpuChunkCodec(ChunkCodec):
             lengths = np.zeros(256, np.int32)
             return EncodedChunk(b"", lengths, sha, None)
 
+        mode = self.config.compression.codebook_mode
+        v2 = self.config.compression.format_version >= 2
+
+        # Host histogram first (native pass, ~2 GB/s): through a ~56 MB/s
+        # half-duplex relay, uploading an incompressible chunk just to learn
+        # it is incompressible wastes a full chunk-time — the raw-store
+        # decision (and, for host codebook modes, the codebook itself) comes
+        # from the host histogram, and only compressible chunks ever touch
+        # the device.  On directly-attached chips this pre-pass is still
+        # ~7 ms against a 16 MB upload.
+        hist = None
+        lengths = codes = None
+        if v2 or mode != "device":
+            with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
+                hist = self._cpu.freq.compute_histogram(data)
+        if mode != "device":
+            with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
+                lengths, codes = huffman.build_codebook(
+                    hist, mode=mode,
+                    max_len=self.config.compression.effective_max_code_len(),
+                )
+        if v2:
+            opt_bits = (
+                int(hist @ lengths.astype(np.int64))
+                if lengths is not None
+                else int(
+                    hist
+                    @ huffman.build_code_lengths(hist, mode="fast").astype(np.int64)
+                )
+            )
+            if opt_bits >= n * 8:
+                # incompressible: store raw (v2 marker: all-zero lengths)
+                # without a single relay byte
+                return EncodedChunk(data.tobytes(), np.zeros(256, np.int32), sha, None)
+
         dev = self.freq._ensure_device()
         padded = np.zeros(self.padded_size, dtype=np.uint8)
         padded[:n] = data
         x = jax.device_put(padded, dev)
-
-        mode = self.config.compression.codebook_mode
-        v2 = self.config.compression.format_version >= 2
         if mode == "device" and v2:
             # fused single-executable path: histogram → codebook → encode
             with metrics.timed(Stage.ENCODING, n):
                 lengths_dev, words, total_bits, gaps = self._fused_pipeline()(
                     x, jnp.int32(n)
                 )
-                tb = int(total_bits)
+                # ONE small round trip for all control metadata (each
+                # np.asarray costs a full relay latency), then one big
+                # live-prefix fetch
+                tb, lengths, gaps_h = jax.device_get(
+                    (total_bits, lengths_dev, gaps)
+                )
+                tb = int(tb)
                 if tb >= n * 8:
                     # incompressible: store raw (v2 marker: all-zero lengths)
                     return EncodedChunk(data.tobytes(), np.zeros(256, np.int32), sha, None)
@@ -218,27 +256,24 @@ class TpuChunkCodec(ChunkCodec):
                     raise RuntimeError("encoded stream exceeded device word capacity")
                 nw = (tb + 31) // 32
                 payload = words_to_bytes(np.asarray(words[:nw]), tb)
-                lengths = np.asarray(lengths_dev).astype(np.int32)
+                lengths = np.asarray(lengths).astype(np.int32)
                 nsub = (n + self.subblock - 1) // self.subblock
-                gap_bits = np.asarray(gaps)[:nsub].astype(np.uint32)
+                gap_bits = np.asarray(gaps_h)[:nsub].astype(np.uint32)
             return EncodedChunk(payload, lengths, sha, gap_bits)
 
-        with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
-            hist_dev = histogram_device(x, jnp.int32(n))
-
-        with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
-            if mode == "device":
+        if mode == "device":
+            # v1 + device codebook: histogram + codebook stay on device
+            with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
+                hist_dev = histogram_device(x, jnp.int32(n))
+            with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
                 lengths_dev, codes_dev = device_codebook(hist_dev)
                 lengths = np.asarray(lengths_dev)
                 codes = np.asarray(codes_dev).astype(np.uint32)
-            else:
-                hist = np.asarray(hist_dev).astype(np.int64)
-                lengths, codes = huffman.build_codebook(
-                    hist, mode=mode,
-                    max_len=self.config.compression.effective_max_code_len(),
-                )
-                lengths_dev = jax.device_put(lengths, dev)
-                codes_dev = jax.device_put(codes, dev)
+        else:
+            # host codebook (built above from the host histogram): ship the
+            # 256-entry tables up with the data — no histogram round trip
+            lengths_dev = jax.device_put(lengths, dev)
+            codes_dev = jax.device_put(codes, dev)
 
         # bucketed static scatter-slot bound (maxlen+2), avoiding a recompile
         # per distinct per-chunk max code length
@@ -253,17 +288,23 @@ class TpuChunkCodec(ChunkCodec):
                     x, jnp.int32(n), lengths_dev, codes_dev,
                     self.out_words, self.subblock, max_slots=slots,
                 )
+                # one small round trip for all control metadata (each fetch
+                # pays a full relay latency)
+                tb, gaps_h = jax.device_get((total_bits, gaps))
+                tb = int(tb)
                 nsub = (n + self.subblock - 1) // self.subblock
-                gap_bits = np.asarray(gaps)[:nsub].astype(np.uint32)
+                gap_bits = np.asarray(gaps_h)[:nsub].astype(np.uint32)
             else:
                 words, total_bits = encode_device_merge(
                     x, jnp.int32(n), lengths_dev, codes_dev, self.out_words,
                     max_slots=slots,
                 )
                 gap_bits = None
-            tb = int(total_bits)
+                tb = int(total_bits)
             if v2 and tb >= n * 8:
-                # incompressible: store raw (v2 marker: all-zero lengths)
+                # incompressible: store raw (v2 marker: all-zero lengths) —
+                # normally decided host-side before any upload; kept as a
+                # safety net for codebook modes whose nbits estimate differs
                 return EncodedChunk(data.tobytes(), np.zeros(256, np.int32), sha, None)
             if tb > self.out_words * 32:
                 raise RuntimeError("encoded stream exceeded device word capacity")
@@ -328,12 +369,11 @@ class TpuChunkCodec(ChunkCodec):
             wpad[: words.size] = words
             gpad = np.zeros(nsub_static, dtype=np.uint32)
             gpad[: meta.gap_bits.size] = meta.gap_bits
+            # one device_put call for all five arrays: the relay charges a
+            # full latency per transfer call, not per byte
+            wd, gd, ld, ad, sd = jax.device_put((wpad, gpad, limits, adj, sym), dev)
             out = decode_device(
-                jax.device_put(wpad, dev),
-                jax.device_put(gpad, dev),
-                jax.device_put(limits, dev),
-                jax.device_put(adj, dev),
-                jax.device_put(sym, dev),
+                wd, gd, ld, ad, sd,
                 s,
                 nsub_static,
                 syms_per_step=syms_per_refill(max_code_len(meta.code_lengths), s),

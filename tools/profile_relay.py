@@ -4,6 +4,12 @@ Run on the real TPU (axon relay): `python tools/profile_relay.py`.
 Prints JSON with the measured transfer characteristics that size the TPU
 service's overlap design (docs/BENCHMARKS.md).  Single process — never run
 concurrently with other TPU work on this rig.
+
+Measurement notes: jax caches an Array's host copy after the first
+``np.asarray``, so every timed D2H must fetch a FRESH device array (a trivial
+on-device bump produces one); H2D is timed as device_put + a sparse digest
+whose scalar fetch forces completion, with bandwidth taken from the slope
+over sizes so dispatch/latency constants cancel.
 """
 
 import json
@@ -21,34 +27,39 @@ def main() -> int:
     dev = jax.devices()[0]
     out = {"device": str(dev)}
 
-    # --- D2H: materialize on device via iota (no H2D), fetch to host -------
     def make(n):
         return jax.lax.broadcasted_iota(jnp.uint8, (n, 1), 0).reshape(n)
 
+    @jax.jit
+    def bump(a):
+        return a + jnp.uint8(1)
+
+    @jax.jit
+    def digest(x):
+        return x[::65536].astype(jnp.int32).sum()
+
     sizes = [1 << 20, 4 << 20, 16 << 20]
+
+    # --- D2H: fresh device array per fetch ----------------------------------
     d2h = {}
     for n in sizes:
         a = jax.jit(make, static_argnums=0)(n)
-        _ = np.asarray(a[:8])  # force completion of the program
+        _ = np.asarray(bump(a)[:8])  # warm compile of bump at this shape
         best = float("inf")
         for _i in range(3):
+            a = bump(a)  # fresh array: no cached host copy
             t0 = time.perf_counter()
             h = np.asarray(a)
             best = min(best, time.perf_counter() - t0)
+            del h
         d2h[n] = best
-        del h
-    # slope between largest two sizes = 1/bandwidth; intercept ~ latency
     bw = (sizes[-1] - sizes[0]) / (d2h[sizes[-1]] - d2h[sizes[0]])
     lat = d2h[sizes[0]] - sizes[0] / bw
     out["d2h_mbps"] = round(bw / 1e6, 1)
     out["d2h_latency_ms"] = round(lat * 1e3, 1)
     out["d2h_raw"] = {str(k): round(v, 4) for k, v in d2h.items()}
 
-    # --- H2D: device_put + tiny reduction + scalar fetch --------------------
-    @jax.jit
-    def digest(x):
-        return x[:: 65536].astype(jnp.int32).sum()
-
+    # --- H2D: device_put + sparse digest + scalar fetch ----------------------
     h2d = {}
     for n in sizes:
         buf = np.random.default_rng(0).integers(0, 255, n, dtype=np.uint8)
@@ -56,6 +67,7 @@ def main() -> int:
         _ = int(digest(x))  # compile + warm
         best = float("inf")
         for _i in range(3):
+            buf[0] ^= 1  # defeat any host-buffer dedup/caching
             t0 = time.perf_counter()
             x = jax.device_put(buf, dev)
             _ = int(digest(x))
@@ -70,27 +82,28 @@ def main() -> int:
     # --- duplex: concurrent H2D and D2H from two threads ---------------------
     n = 16 << 20
     up_buf = np.random.default_rng(1).integers(0, 255, n, dtype=np.uint8)
-    dn_dev = jax.jit(make, static_argnums=0)(n)
-    _ = np.asarray(dn_dev[:8])
+    base = jax.jit(make, static_argnums=0)(n)
+    _ = np.asarray(bump(base)[:8])
     reps = 3
 
     def up_loop():
-        for _ in range(reps):
+        for i in range(reps):
+            up_buf[0] ^= 1
             x = jax.device_put(up_buf, dev)
             _ = int(digest(x))
 
     def dn_loop():
+        a = base
         for _ in range(reps):
-            _ = np.asarray(dn_dev)
+            a = bump(a)
+            _ = np.asarray(a)
 
-    # serial reference
     t0 = time.perf_counter()
     up_loop()
     t_up = time.perf_counter() - t0
     t0 = time.perf_counter()
     dn_loop()
     t_dn = time.perf_counter() - t0
-    # concurrent
     t0 = time.perf_counter()
     a = threading.Thread(target=up_loop)
     b = threading.Thread(target=dn_loop)
@@ -101,11 +114,13 @@ def main() -> int:
     out["concurrent_both_s"] = round(t_both, 3)
     out["duplex_speedup"] = round((t_up + t_dn) / t_both, 2)
 
-    # --- two concurrent D2H streams (does the relay serialize same-direction?)
+    # --- two concurrent same-direction D2H streams ---------------------------
     t0 = time.perf_counter()
-    a = threading.Thread(target=dn_loop)
-    b = threading.Thread(target=dn_loop)
-    a.start(); b.start(); a.join(); b.join()
+    th = [threading.Thread(target=dn_loop) for _ in range(2)]
+    for t in th:
+        t.start()
+    for t in th:
+        t.join()
     out["two_d2h_streams_s"] = round(time.perf_counter() - t0, 3)
     out["d2h_parallel_speedup"] = round(2 * t_dn / out["two_d2h_streams_s"], 2)
 

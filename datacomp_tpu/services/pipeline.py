@@ -379,12 +379,19 @@ class ChunkedPipeline:
         if deep:
             metrics = StageMetrics()
             with open(compressed_path, "rb") as f:
-                for c in header.chunks:
-                    f.seek(data_start + c.compressed_offset)
-                    payload = f.read(c.compressed_size)
+                fd = f.fileno()
+
+                def check(c: ct.ChunkMeta) -> bool:
+                    payload = os.pread(fd, c.compressed_size, data_start + c.compressed_offset)
                     data = self.codec.decode_chunk(payload, c, header, metrics)
-                    if compute_sha256(data.tobytes()) != c.sha256:
+                    return compute_sha256(data) == c.sha256
+
+                futures = [self._executor.submit(check, c) for c in header.chunks]
+                try:
+                    if not all(fut.result() for fut in futures):
                         return False
+                except Exception:  # noqa: BLE001 — undecodable ⇒ corrupt
+                    return False
         return True
 
     def close(self) -> None:

@@ -221,3 +221,23 @@ def test_max_code_len_noop_on_typical_data(tmp_path):
         assert ca.compressed_size == cb.compressed_size
     na = sum(c.compressed_size for c in ha.chunks)
     assert open(a, "rb").read()[:na] == open(b, "rb").read()[:na]
+
+
+def test_deep_verify_detects_payload_corruption(tmp_path):
+    """deep verify decodes every chunk (in parallel) and must return False —
+    not raise — on a corrupted payload byte."""
+    from datacomp_tpu.config import load_config
+    from datacomp_tpu.services.cpu_service import CpuCompressionService
+    from datacomp_tpu.utils.testdata import generate_bytes
+
+    cfg = load_config(compression={"chunk_size_mb": 1})
+    src = tmp_path / "v.bin"
+    src.write_bytes(generate_bytes("text", 3 * 1024 * 1024))
+    dcz = str(src) + ".dcz"
+    with CpuCompressionService(cfg) as svc:
+        svc.compress(str(src), dcz)
+        assert svc.verify_integrity(dcz, deep=True)
+        raw = bytearray(open(dcz, "rb").read())
+        raw[1000] ^= 0x10  # flip a payload bit in chunk 0
+        open(dcz, "wb").write(bytes(raw))
+        assert svc.verify_integrity(dcz, deep=True) is False

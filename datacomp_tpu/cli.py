@@ -189,6 +189,14 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_ui(args) -> int:
+    """Interactive terminal app: the reference's 4-view windowed application
+    (Dashboard/Compress/Benchmark/Settings) as a curses TUI."""
+    from .ui.app import run_app
+
+    return run_app()
+
+
 def cmd_dashboard(args) -> int:
     from .ui import export_html, render_dashboard
 
@@ -356,6 +364,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("stats", help="show session metrics")
     sp.set_defaults(func=cmd_stats)
+
+    sp = sub.add_parser("ui", help="interactive terminal app (4 views: "
+                                   "dashboard/compress/benchmark/settings)")
+    sp.set_defaults(func=cmd_ui)
 
     sp = sub.add_parser("dashboard", help="system/device info + metrics dashboard")
     sp.add_argument("--html", default=None, help="also write an HTML report here")

@@ -1,5 +1,5 @@
 """Terminal/HTML surfaces replacing the reference's JavaFX GUI (``ui/``)."""
 
-from .dashboard import render_dashboard, export_html
+from .dashboard import render_dashboard, export_html, sparkline
 
-__all__ = ["render_dashboard", "export_html"]
+__all__ = ["render_dashboard", "export_html", "sparkline"]

@@ -159,3 +159,81 @@ class TestTestData:
             assert len(b) == 1000
         h = np.bincount(np.frombuffer(generate_bytes("text", 50_000), np.uint8), minlength=256)
         assert h.max() > h[h > 0].min() * 3  # skewed distribution
+
+
+class TestInteractiveApp:
+    """Headless tests for the 4-view terminal app (`dcz ui`) — the pure
+    renderers and key state machine (curses driver excluded)."""
+
+    def _state(self):
+        from datacomp_tpu.ui.app import AppState
+
+        return AppState()
+
+    def test_view_navigation_and_render(self):
+        from datacomp_tpu.ui.app import handle_key, render_view
+
+        st = self._state()
+        for key, name in zip("1234", ("dashboard", "Compress", "Benchmark", "Settings")):
+            handle_key(st, key)
+            text = "\n".join(render_view(st))
+            assert name in text
+        handle_key(st, "q")
+        assert st.quit
+
+    def test_compress_view_text_entry_and_validation(self, tmp_path):
+        from datacomp_tpu.ui.app import KEY_BACKSPACE, KEY_ENTER, KEY_TAB, handle_key
+
+        st = self._state()
+        handle_key(st, "2")
+        for ch in "/no/such/file":
+            handle_key(st, ch)
+        assert st.input_path == "/no/such/file"
+        handle_key(st, KEY_BACKSPACE)
+        assert st.input_path == "/no/such/fil"
+        handle_key(st, KEY_TAB)
+        assert st.field_focus == 1
+        handle_key(st, KEY_TAB)
+        handle_key(st, KEY_ENTER)  # start on a missing file → message, no thread
+        assert "not found" in st.op.message
+
+    def test_compress_runs_end_to_end(self, tmp_path):
+        import time
+
+        from datacomp_tpu.ui.app import KEY_ENTER, handle_key, render_view
+        from datacomp_tpu.utils.testdata import generate_bytes
+
+        src = tmp_path / "ui.bin"
+        src.write_bytes(generate_bytes("text", 200_000))
+        st = self._state()
+        st.settings["backend"] = "cpu"
+        st.settings["chunk_size_mb"] = "1"
+        handle_key(st, "2")
+        st.input_path = str(src)
+        handle_key(st, KEY_ENTER)
+        for _ in range(200):
+            if not st.op.running:
+                break
+            time.sleep(0.05)
+        assert st.op.message.startswith("done:"), st.op.message
+        assert (tmp_path / "ui.bin.dcz").exists()
+        text = "\n".join(render_view(st))
+        assert "MB/s" in st.op.message and "Encoding" in text  # stage breakdown
+
+    def test_settings_cycle_and_save(self, tmp_path, monkeypatch):
+        from datacomp_tpu.config import load_config
+        from datacomp_tpu.ui.app import KEY_DOWN, KEY_RIGHT, handle_key
+
+        monkeypatch.chdir(tmp_path)
+        st = self._state()
+        handle_key(st, "4")
+        handle_key(st, KEY_RIGHT)  # chunk 16 -> 32
+        assert st.settings["chunk_size_mb"] == "32"
+        handle_key(st, KEY_DOWN)
+        handle_key(st, KEY_RIGHT)  # format 2 -> 1
+        assert st.settings["format_version"] == "1"
+        handle_key(st, "s")
+        assert "saved" in st.settings_saved
+        cfg = load_config(str(tmp_path / "datacomp.toml"))
+        assert cfg.compression.chunk_size_mb == 32
+        assert cfg.compression.format_version == 1

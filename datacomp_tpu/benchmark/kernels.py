@@ -55,16 +55,20 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     def gather_once(ix):
         return table[ix].sum()
 
+    # bf16 operands: the kernels' one-hot contractions run at the bf16 MXU
+    # rate.  0/1-safe dependency: perturb one element, read one element.
     m = 1024
-    a = jax.device_put(rng.standard_normal((m, m), dtype=np.float32))
+    a = jax.device_put(
+        rng.standard_normal((m, m)).astype(np.float32).astype(jnp.bfloat16)
+    )
 
     def matmul_once(x):
         return jax.lax.dot_general(
-            x, a, dimension_numbers=(((1,), (0,)), ((), ())),
+            x, x, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[0, 0].astype(jnp.int32)
 
-    def slope(fn, arg, int_dep):
+    def slope(fn, arg, int_dep, k_lo, k_hi):
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(x, k):
             def body(i, carry):
@@ -76,7 +80,7 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
             return acc
 
         times = {}
-        for K in (2, 6):
+        for K in (k_lo, k_hi):
             _ = int(chain(arg, k=K))
             best = float("inf")
             for _i in range(repeats):
@@ -84,11 +88,18 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
                 _ = int(chain(arg, k=K))
                 best = min(best, time.perf_counter() - t0)
             times[K] = best
-        return max((times[6] - times[2]) / 4, 1e-9)
+        return max((times[k_hi] - times[k_lo]) / (k_hi - k_lo), 1e-12)
 
-    g_s = slope(gather_once, idx, lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    # Per-iteration matmul cost spans ~5 µs (TPU bf16) to ~10 ms (2-core
+    # CPU): the chain must be long enough that the slope clears timing noise
+    # (remote-relay jitter is ~1-2 ms) yet short enough to finish on CPU.
+    mk_lo, mk_hi = (2, 6) if on_cpu else (16, 8016)
+    g_s = slope(gather_once, idx,
+                lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype), 2, 6)
     m_s = slope(matmul_once, a,
-                lambda x, t: x + _unfoldable_dep(t).astype(x.dtype))
+                lambda x, t: x.at[0, 0].add(_unfoldable_dep(t).astype(x.dtype)),
+                mk_lo, mk_hi)
     return {
         "gather_ns": g_s / n * 1e9,
         "mac_per_s": (m * m * m) / m_s,
@@ -96,15 +107,18 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 
 
 #: analytic primitive counts per input byte for each kernel (see the op
-#: modules for the derivations)
+#: modules for the derivations).  ``mxu_util`` is the output-tile
+#: utilization of the kernel's contractions: 16-wide one-hot shapes light up
+#: 16/128 of each MXU dimension, so the array spins 64 cycles per useful
+#: 16x16 tile — the bound must charge the full spin.
 _KERNEL_COSTS = {
     # one (n,16)^T @ (n,16) contraction → 256 MACs/byte on the MXU
-    "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0},
+    "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
     # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each
-    "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0},
+    "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
     # 1 word-refill gather per syms_per_step symbols + a 16x16 one-hot
     # symbol einsum per symbol (filled in at bench time: k depends on data)
-    "decode": {"macs_per_byte": 272.0, "gathers_per_byte": None},
+    "decode": {"macs_per_byte": 272.0, "gathers_per_byte": None, "mxu_util": 1 / 64},
 }
 
 
@@ -251,7 +265,9 @@ def run_kernel_bench(
             gathers = cost["gathers_per_byte"]
             if gathers is None:  # decode: 1 refill gather per k symbols
                 gathers = 1.0 / sps
-            mac_floor_s = cost["macs_per_byte"] / prim["mac_per_s"]  # s/byte
+            mac_floor_s = cost["macs_per_byte"] / (
+                prim["mac_per_s"] * cost.get("mxu_util", 1.0)
+            )  # s/byte
             gather_floor_s = gathers * prim["gather_ns"] * 1e-9
             floor_s = max(mac_floor_s, gather_floor_s)
             bound = 1.0 / floor_s / 1e6  # MB/s

@@ -30,7 +30,14 @@ TILE = 1 << 22
 
 
 def _hist_tile(x: jnp.ndarray) -> jnp.ndarray:
-    """(n,) uint8/int32 → (256,) int32 histogram of one tile."""
+    """(n,) uint8/int32 → (256,) int32 histogram of one tile.
+
+    Measured variants on a v5e (tools A/B, round 2): f32 ≈ bf16 one-hots and
+    ``lax.map`` over tiles beats ``vmap`` (2.2 ms vs 2.9-3.9 ms / 16 MB) —
+    the (16,16)-output contraction runs the MXU at 16/128 × 16/128 = 1/64
+    output-tile utilization, which, not operand width, is the floor of this
+    formulation; wider-output reshapes spend exactly the utilization factor
+    in extra MACs, so 2.2 ms/16 MB is the practical MXU histogram floor."""
     x = x.astype(jnp.int32)
     hi = x >> 4
     lo = x & 15
@@ -64,6 +71,8 @@ def histogram_device(data: jnp.ndarray, valid_len: jnp.ndarray, tile: int = TILE
         if pad:
             masked = jnp.concatenate([masked, jnp.zeros(pad, jnp.int32)])
         tiles = masked.reshape(ntiles, tile)
+        # lax.map, not vmap: measured faster on-chip (vmap's batched
+        # contraction layout loses to sequenced full-size sub-matmuls here)
         hist = jax.lax.map(_hist_tile, tiles).sum(axis=0, dtype=jnp.int32)
         hist = hist.at[0].add(-pad)
     # remove the pad-redirected zeros

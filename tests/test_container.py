@@ -234,3 +234,47 @@ def test_scan_for_footer_no_footer(tmp_path):
     p = tmp_path / "junk.bin"
     p.write_bytes(b"\x00" * 4096)
     assert scan_for_footer(str(p)) is None
+
+
+def test_parse_footer_fuzz_never_crashes(rng):
+    """Random bytes, bit-flipped footers, and truncations must raise
+    ContainerError (or parse to something) — never IndexError/struct.error/
+    hangs.  Guards the error paths of the stored-format parser."""
+    h = mk_header(nchunks=3, version=2)
+    good = serialize_footer(h)
+    for _ in range(300):
+        buf = bytearray(good)
+        kind = rng.integers(0, 3)
+        if kind == 0:  # random corruption
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        elif kind == 1:  # truncation
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        else:  # random garbage
+            buf = bytearray(rng.integers(0, 256, int(rng.integers(0, 200))).astype("u1").tobytes())
+        try:
+            parse_footer(bytes(buf))
+        except ContainerError:
+            pass
+
+
+def test_read_container_fuzz_files(tmp_path, rng):
+    """Corrupted container FILES must raise ContainerError or IOError."""
+    h = mk_header(nchunks=2)
+    p = tmp_path / "f.dcz"
+    with open(p, "wb") as f:
+        write_container(f, h, [b"a" * 50, b"b" * 51])
+    good = p.read_bytes()
+    for trial in range(40):
+        buf = bytearray(good)
+        if trial % 2 == 0:
+            buf = buf[: int(rng.integers(0, len(buf)))]
+        else:
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        q = tmp_path / f"fz{trial}.dcz"
+        q.write_bytes(bytes(buf))
+        try:
+            read_container(str(q))
+        except (ContainerError, OSError):
+            pass

@@ -114,6 +114,10 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 _KERNEL_COSTS = {
     # one (n,16)^T @ (n,16) contraction → 256 MACs/byte on the MXU
     "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
+    # packed-8 pallas kernel: same 256 useful MACs/byte but full (128,128)
+    # output tiles → 8x the effective MXU rate (in practice VPU-bound on the
+    # one-hot build; see ops/histogram_pallas.py)
+    "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 8},
     # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each
     "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
     # 1 word-refill gather per syms_per_step symbols + a 16x16 one-hot
@@ -212,6 +216,15 @@ def run_kernel_bench(
         "encode": (encode_once, dd, n),
         "decode": (decode_once, wd, n),
     }
+    # The Mosaic kernel only on real devices: the Pallas interpreter is far
+    # too slow for a 16 MB chunk on the CPU CI tier (correctness there is
+    # covered by test_ops.py at small sizes).
+    if dev.platform != "cpu":
+        from ..ops import histogram_pallas
+
+        cases["histogram-pallas"] = (
+            lambda x: histogram_pallas(x, jnp.int32(n))[1], dd, n,
+        )
     if kernels:
         cases = {k: v for k, v in cases.items() if k in set(kernels)}
 

@@ -61,6 +61,13 @@ class DeviceConfig:
     # Chunks in flight concurrently (streams overlap host work + transfer
     # latencies; measured +24% from a second same-direction relay stream).
     parallel_chunks: int = 3
+    # Device histogram formulation: "pallas" (packed-8 Mosaic kernel,
+    # ops/histogram_pallas.py — measured 25% faster than the matmul
+    # formulation on v5e, the default on real devices) or "xla"
+    # (rank-decomposed MXU matmul; also used automatically on CPU platforms
+    # where Mosaic cannot compile).  Both are bit-exact; the round-2
+    # formulation study is in docs/BENCHMARKS.md.
+    histogram_backend: str = "pallas"
 
 
 @dataclass(frozen=True)
@@ -211,4 +218,8 @@ def _validate(cfg: AppConfig) -> None:
     if comp.format_version >= 2 and comp.subblock_symbols % 32:
         raise ValueError(
             f"subblock-symbols must be a multiple of 32, got {comp.subblock_symbols}"
+        )
+    if cfg.device.histogram_backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"histogram-backend must be xla|pallas, got {cfg.device.histogram_backend!r}"
         )

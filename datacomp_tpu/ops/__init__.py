@@ -21,6 +21,7 @@ def _enable_compilation_cache() -> None:
 _enable_compilation_cache()
 
 from .histogram import histogram_device, histogram_np
+from .histogram_pallas import histogram_pallas, pallas_available
 from .encode import encode_device, words_to_bytes
 from .encode_merge import encode_device_merge
 from .decode import (
@@ -37,6 +38,8 @@ from .codebook import device_canonical_codes, device_code_lengths, device_codebo
 __all__ = [
     "histogram_device",
     "histogram_np",
+    "histogram_pallas",
+    "pallas_available",
     "encode_device",
     "encode_device_merge",
     "words_to_bytes",

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: packed-8 one-hot MXU histogram.
+
+The pure-XLA histogram (``ops/histogram.py``) expresses ``hist[hi, lo]`` as a
+``(n,16)x(n,16)->(16,16)`` one-hot contraction — correct, but it keeps only
+16 of the MXU's 128 lanes live on both operand and output, which pins the
+formulation at ~2.2 ms / 16 MB on a v5e regardless of operand dtype (round-2
+A/B in docs/BENCHMARKS.md).
+
+This kernel implements the *packed-8* formulation (TPU equivalent, not a
+translation, of the reference's tiled GPU histogram
+``TornadoKernels.histogramTiledKernel:89-100`` + reduce in
+``GpuFrequencyService.java:123-149``): view the chunk as rows of 8 bytes and
+give every byte-slot its own column group, so both one-hot operands are
+(rows, 128) and each contraction fills a complete (128, 128) MXU output
+tile.  The slot-diagonal (16, 16) blocks of the result are the per-slot
+histograms; off-diagonal blocks are discarded.  Useful MACs per byte are
+unchanged (256) but the MXU consumes 8x fewer operand rows.
+
+Kernel shape:
+
+* grid over (ROWS, 128)-byte tiles; Pallas streams each block HBM -> VMEM
+  automatically (double-buffered by the Mosaic pipeline);
+* per block, a static loop over the 16 8-byte groups: widen the group to
+  int32 (v5e's VPU has no i8 vector compare/shift — measured, see
+  docs/BENCHMARKS.md), one ``pltpu.repeat`` to 128 lanes, nibble compares
+  build the bf16 one-hots (0/1 is exact in bf16), and
+  ``one_hot_hi^T @ one_hot_lo`` accumulates into an f32 (128, 128)
+  accumulator that lives in VMEM for the whole grid (every grid step maps
+  to the same output block; TPU grids execute sequentially so the
+  accumulation is race-free by construction — the property the reference's
+  tiled kernel gets from one-sub-histogram-per-tile);
+* the (128,128) -> slot-diagonal -> (256,) reduction runs in XLA after the
+  kernel (trivial: one 64 KB tensor per chunk).
+
+Measured on v5e (16 MB chunk, interleaved median-of-5 slope timings):
+**1.93 ms (8.7 GB/s) vs the XLA formulation's 2.56 ms** — ~25% faster, so
+this kernel is the production histogram on real devices
+(``device.histogram_backend = "pallas"``, the default; ``"xla"`` forces the
+matmul formulation).  Both are bit-exact.  Variants measured and rejected:
+int8 MXU operands (2.87 ms — no MXU win, extra convert), u8-native compares
+(v5e legalizes neither ``arith.shrui`` nor ``arith.cmpi`` on i8 vectors),
+pure-XLA packed-8 (17 ms — XLA materializes the one-hot build through HBM
+instead of fusing it; the in-VMEM build is exactly what Pallas adds).  Full
+study: docs/BENCHMARKS.md.
+
+Exactness: one-hot products are 0/1 (exact in bf16); the MXU accumulates in
+f32, and each accumulator entry counts at most ``rows`` < 2^24 bytes, so all
+counts are exactly representable.  The public wrapper asserts chunks stay
+below that bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU/Mosaic-oriented; keep import failures non-fatal
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover - environment without pallas
+    _PALLAS_OK = False
+
+#: 128-byte rows per grid step (block = ROWS x 128 bytes in VMEM).  Mosaic
+#: keeps the 16 unrolled per-group intermediates live, so the scoped-VMEM
+#: footprint scales with ROWS: 512 compiles on v5e, 1024 overflows the 16 MB
+#: budget (measured 18.1 MB).  Interleaved median-of-5 on a 16 MB chunk:
+#: rows=128 → 1.93 ms, 256 → 2.47 ms, 512 → 2.51 ms (smaller blocks pipeline
+#: better against the compute), so 128 is the default.
+ROWS = 128
+
+#: hard exactness bound: per-slot counts accumulate in f32
+_MAX_BYTES_EXACT = 1 << 24
+
+
+def _hist_kernel(x_ref, acc_ref):
+    """One grid step: accumulate this block's packed one-hot contraction.
+
+    Column mapping is ``c = v*8 + s`` (nibble value v in bits 3..6, byte-slot
+    s in bits 0..2) so the byte replication is a *tile*-repeat
+    (``[t t t ...]`` — ``pltpu.repeat``), which Mosaic lowers natively; the
+    elementwise layout (``c = 16s + v``) needs a (R,8,16)->(R,128) shape cast
+    Mosaic's vector-layout inference rejects.  The group bytes are sliced
+    straight from the uint8 ref and widened to int32 per group — v5e's VPU
+    legalizes neither ``arith.shrui`` nor ``arith.cmpi`` on i8 vectors, and
+    a full int32 copy of the block plus 16 groups of unrolled intermediates
+    overflows scoped VMEM.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    vals = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) >> 3  # 0..15, x8
+    acc = acc_ref[:]
+    for g in range(16):
+        t = x_ref[:, 8 * g : 8 * g + 8].astype(jnp.int32)  # (ROWS, 8)
+        rep = pltpu.repeat(t, 16, axis=1)  # rep[i, c] = t[i, c & 7]
+        oh_hi = ((rep >> 4) == vals).astype(jnp.bfloat16)
+        oh_lo = ((rep & 15) == vals).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            oh_hi,
+            oh_lo,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+
+def pallas_available() -> bool:
+    return _PALLAS_OK
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def histogram_pallas(
+    data: jnp.ndarray,
+    valid_len: jnp.ndarray,
+    rows: int = ROWS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int32[256] histogram of ``data[:valid_len]`` via the Pallas kernel.
+
+    Same contract as ``histogram_device``: ``data`` is a padded static-shape
+    uint8 chunk; bytes at or beyond ``valid_len`` are redirected to bin 0 and
+    subtracted afterwards.  ``interpret=True`` runs the kernel in the Pallas
+    interpreter (CPU CI); on TPU it compiles through Mosaic.
+    """
+    n = data.shape[0]
+    if n > _MAX_BYTES_EXACT:
+        # keep every f32 accumulator entry < 2^24: histogram exact-sized
+        # segments independently (shapes are static, so this unrolls into a
+        # handful of pallas_calls) and sum the int32 results
+        parts = []
+        for off in range(0, n, _MAX_BYTES_EXACT):
+            seg = data[off : off + _MAX_BYTES_EXACT]
+            seg_valid = jnp.clip(
+                valid_len.astype(jnp.int32) - off, 0, seg.shape[0]
+            )
+            parts.append(histogram_pallas(seg, seg_valid, rows, interpret))
+        return jnp.sum(jnp.stack(parts), axis=0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    masked = jnp.where(idx < valid_len, data, jnp.uint8(0))
+    block = rows * 128
+    pad = (-n) % block
+    if pad:
+        masked = jnp.concatenate([masked, jnp.zeros(pad, jnp.uint8)])
+    mat = masked.reshape(-1, 128)
+    grid = mat.shape[0] // rows
+
+    acc = pl.pallas_call(
+        _hist_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((128, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+        interpret=interpret,
+    )(mat)
+
+    # acc[p, q] with p = hi*8 + slot_a, q = lo*8 + slot_b; the slot_a==slot_b
+    # diagonal blocks are the per-slot histograms
+    c4 = acc.reshape(16, 8, 16, 8)
+    diag = jnp.diagonal(c4, axis1=1, axis2=3)  # (16, 16, 8)
+    hist = diag.sum(axis=-1).reshape(256).astype(jnp.int32)
+    # remove the pad/mask bytes redirected into bin 0
+    return hist.at[0].add(-(jnp.int32(n + pad) - valid_len.astype(jnp.int32)))

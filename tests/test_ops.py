@@ -39,6 +39,43 @@ class TestHistogram:
         assert np.array_equal(h, np.bincount(data, minlength=256))
 
 
+class TestHistogramPallas:
+    """Pallas packed-8 kernel, run through the interpreter on the CPU tier
+    (compiled through Mosaic on real TPU — see test_tpu_hardware.py)."""
+
+    @pytest.mark.parametrize(
+        "cap,n",
+        [(1 << 18, 1 << 18), (1 << 18, 200_001), (1 << 18, 0), (1 << 20, 1 << 19)],
+    )
+    def test_matches_bincount(self, rng, cap, n):
+        from datacomp_tpu.ops.histogram_pallas import histogram_pallas
+
+        data = rng.integers(0, 256, cap).astype(np.uint8)
+        h = np.asarray(
+            histogram_pallas(jnp.asarray(data), jnp.int32(n), rows=512, interpret=True)
+        )
+        assert np.array_equal(h, np.bincount(data[:n], minlength=256))
+
+    def test_segments_beyond_exact_bound(self, rng):
+        """Chunks past the 2^24 f32-exact bound split into exact segments."""
+        import importlib
+
+        hp = importlib.import_module("datacomp_tpu.ops.histogram_pallas")
+        old = hp._MAX_BYTES_EXACT
+        hp._MAX_BYTES_EXACT = 1 << 17  # shrink the bound so the test is fast
+        try:
+            data = rng.integers(0, 256, (1 << 18) + 64).astype(np.uint8)
+            n = (1 << 17) + 12345  # valid_len straddles a segment boundary
+            h = np.asarray(
+                hp.histogram_pallas.__wrapped__(  # bypass jit: bound is read at trace
+                    jnp.asarray(data), jnp.int32(n), 512, True
+                )
+            )
+            assert np.array_equal(h, np.bincount(data[:n], minlength=256))
+        finally:
+            hp._MAX_BYTES_EXACT = old
+
+
 class TestDeviceCodebook:
     def test_optimal_and_canonical(self, rng):
         for _ in range(15):

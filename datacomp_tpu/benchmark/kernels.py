@@ -51,9 +51,15 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     rng = np.random.default_rng(0)
     table = jax.device_put(rng.integers(0, 1 << 30, n, dtype=np.int32))
     idx = jax.device_put(rng.integers(0, n, n, dtype=np.int32))
+    table8 = jax.device_put(
+        rng.integers(0, 1 << 30, (n >> 3, 8), dtype=np.int32))
+    idx8 = jax.device_put(rng.integers(0, n >> 3, n >> 3, dtype=np.int32))
 
     def gather_once(ix):
         return table[ix].sum()
+
+    def gather_row8_once(ix):
+        return table8[ix].sum(dtype=jnp.int32)
 
     # bf16 operands: the kernels' one-hot contractions run at the bf16 MXU
     # rate.  0/1-safe dependency: perturb one element, read one element.
@@ -97,11 +103,16 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     mk_lo, mk_hi = (2, 6) if on_cpu else (16, 8016)
     g_s = slope(gather_once, idx,
                 lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype), 2, 6)
+    g8_s = slope(gather_row8_once, idx8,
+                 lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype), 2, 6)
     m_s = slope(matmul_once, a,
                 lambda x, t: x.at[0, 0].add(_unfoldable_dep(t).astype(x.dtype)),
                 mk_lo, mk_hi)
     return {
         "gather_ns": g_s / n * 1e9,
+        # per-INDEX cost of an 8-word row gather (the decode refill's shape;
+        # near the 1-word per-index cost — the basis of refill_words=8)
+        "gather_row8_ns": g8_s / (n >> 3) * 1e9,
         "mac_per_s": (m * m * m) / m_s,
     }
 
@@ -120,8 +131,9 @@ _KERNEL_COSTS = {
     "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 8},
     # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each
     "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
-    # 1 word-refill gather per syms_per_step symbols + a 16x16 one-hot
-    # symbol einsum per symbol (filled in at bench time: k depends on data)
+    # 1 row-refill gather (8 words) per syms_per_step symbols + a 16x16
+    # one-hot symbol einsum per symbol (filled in at bench time: the
+    # symbols-per-step rate depends on the data's codebook depth)
     "decode": {"macs_per_byte": 272.0, "gathers_per_byte": None, "mxu_util": 1 / 64},
 }
 
@@ -150,6 +162,7 @@ def run_kernel_bench(
     from ..core.bitio import encode_bitstream
     from ..core.huffman import build_codebook
     from ..ops import (
+        DEFAULT_REFILL_WORDS,
         cmp_len_bucket,
         build_decode_tables,
         decode_device,
@@ -189,7 +202,7 @@ def run_kernel_bench(
     gd = jax.device_put(gpad, dev)
     Ld, Ad, Sd = (jax.device_put(a, dev) for a in (limits, adj, sym))
     out_words = (max(maxlen, 9) * n + 31) // 32 + 8
-    sps = syms_per_refill(maxlen, subblock)
+    sps = syms_per_refill(maxlen, subblock, DEFAULT_REFILL_WORDS)
 
     def hist_once(x):
         return histogram_device(x, jnp.int32(n))[1]
@@ -207,7 +220,8 @@ def run_kernel_bench(
 
     def decode_once(x):
         o = decode_device(x, gd, Ld, Ad, Sd, subblock, nsub, syms_per_step=sps,
-                          cmp_len=cmp_len_bucket(maxlen))
+                          cmp_len=cmp_len_bucket(maxlen),
+                          refill_words=DEFAULT_REFILL_WORDS)
         return o.astype(jnp.int32).sum()
 
     cases = {
@@ -276,12 +290,14 @@ def run_kernel_bench(
                 r["efficiency"] = None
                 continue
             gathers = cost["gathers_per_byte"]
-            if gathers is None:  # decode: 1 refill gather per k symbols
+            gather_ns = prim["gather_ns"]
+            if gathers is None:  # decode: 1 row-refill gather per k symbols
                 gathers = 1.0 / sps
+                gather_ns = prim.get("gather_row8_ns", gather_ns)
             mac_floor_s = cost["macs_per_byte"] / (
                 prim["mac_per_s"] * cost.get("mxu_util", 1.0)
             )  # s/byte
-            gather_floor_s = gathers * prim["gather_ns"] * 1e-9
+            gather_floor_s = gathers * gather_ns * 1e-9
             floor_s = max(mac_floor_s, gather_floor_s)
             bound = 1.0 / floor_s / 1e6  # MB/s
             r["bound_mbps"] = round(bound, 1)
@@ -291,6 +307,7 @@ def run_kernel_bench(
             )
         results["_primitives"] = {
             "gather_ns": round(prim["gather_ns"], 3),
+            "gather_row8_ns": round(prim.get("gather_row8_ns", 0.0), 3),
             "mac_per_s": round(prim["mac_per_s"], 1),
         }
     return results

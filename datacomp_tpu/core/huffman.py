@@ -236,9 +236,9 @@ def _lengths_package_merge(freqs: np.ndarray, max_len: int) -> np.ndarray:
 #: :func:`resolve_auto_cap`)
 AUTO_CAP = -1
 #: candidate caps, shallowest first.  Each tier raises the device decoder's
-#: symbols-per-32-bit-refill rate (``ops/decode.py syms_per_refill``):
-#: ≤8 bits → 4 sym/refill, ≤10 → 3, ≤16 → 2.  256 symbols always fit in
-#: 8 bits, so every tier is feasible for byte data.
+#: symbols-per-refill rate (``ops/decode.py syms_per_refill``; at the
+#: production 8-word refill: ≤8 bits → 32 sym/refill, ≤10 → 24, ≤16 → 16).
+#: 256 symbols always fit in 8 bits, so every tier is feasible for byte data.
 AUTO_CAP_TIERS = (8, 10, 16)
 #: relative compressed-size budget the auto policy may spend for decode speed
 AUTO_CAP_BUDGET = 0.005

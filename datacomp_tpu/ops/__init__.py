@@ -25,6 +25,7 @@ from .histogram_pallas import histogram_pallas, pallas_available
 from .encode import encode_device, words_to_bytes
 from .encode_merge import encode_device_merge
 from .decode import (
+    DEFAULT_REFILL_WORDS,
     TABLE_BITS,
     build_decode_tables,
     cmp_len_bucket,
@@ -43,6 +44,7 @@ __all__ = [
     "encode_device",
     "encode_device_merge",
     "words_to_bytes",
+    "DEFAULT_REFILL_WORDS",
     "TABLE_BITS",
     "build_decode_tables",
     "cmp_len_bucket",

@@ -39,6 +39,13 @@ from ..core.bitio import CanonicalDecodeTables
 
 TABLE_BITS = 16
 
+#: production refill width: the refill gather's cost is per *index*, not per
+#: fetched word (measured at decode shape on v5e: 13.3 ns/index for 1-word
+#: rows vs ~11 ns for 4/8-word rows), so 8-word rows amortize the decoder's
+#: only gather ~8x.  Measured 16 MB decode: 41.5 -> 11.0 ms (10-bit codes),
+#: 31.7 -> 7.6 ms = 2.2 GB/s (8-bit auto-capped codes).
+DEFAULT_REFILL_WORDS = 8
+
 
 def build_decode_tables(lengths: np.ndarray, table_bits: int = TABLE_BITS):
     """Comparison-decode constants for :func:`decode_device`:
@@ -70,16 +77,26 @@ def max_code_len(lengths: np.ndarray) -> int:
     return int(used.max()) if used.size else 0
 
 
-def syms_per_refill(max_len: int, subblock: int) -> int:
+def syms_per_refill(max_len: int, subblock: int, refill_words: int = 1) -> int:
     """Largest symbols-per-step the codebook depth and sub-block size allow.
 
-    The single 32-bit refill per step must cover worst-case consumption
-    (``k * max_len <= 32`` keeps the bit budget non-draining), and the scan
-    length must divide the sub-block.  Correctness with the shared 16-bit
-    window peek needs >= max_len valid bits before each in-step decode:
-    33 - (k-1) * max_len >= max_len follows from the same bound."""
-    for k in (4, 3, 2):
-        if k * max(max_len, 1) <= 32 and subblock % k == 0:
+    The ``refill_words * 32``-bit refill per step must cover worst-case
+    consumption (``k * max_len <= 32 * W`` keeps the bit budget
+    non-draining), and the scan length must divide the sub-block.
+    Correctness with the shared 16-bit window peek needs >= max_len valid
+    bits before each in-step decode; for W=1 this follows from
+    ``33 - (k-1) * max_len >= max_len``, for W>=2 from the wider window's
+    ``nb >= 32*W + 33`` start-of-step invariant (see :func:`decode_device`).
+    """
+    ml = max(max_len, 1)
+    if refill_words == 1:
+        for k in (4, 3, 2):
+            if k * ml <= 32 and subblock % k == 0:
+                return k
+        return 1
+    cap = min(32, (32 * refill_words) // ml)
+    for k in range(cap, 0, -1):
+        if subblock % k == 0:
             return k
     return 1
 
@@ -95,7 +112,8 @@ def cmp_len_bucket(max_len: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "subblock", "num_subblocks", "syms_per_step", "table_bits", "cmp_len"
+        "subblock", "num_subblocks", "syms_per_step", "table_bits", "cmp_len",
+        "refill_words",
     ),
 )
 def decode_device(
@@ -106,25 +124,72 @@ def decode_device(
     sym: jnp.ndarray,        # int32[256]
     subblock: int,           # symbols per sub-block (static)
     num_subblocks: int,      # static padded sub-block count
-    syms_per_step: int = 2,  # static; use syms_per_refill(max_len, subblock)
+    syms_per_step: int = 2,  # static; use syms_per_refill(max_len, subblock, refill_words)
     table_bits: int = TABLE_BITS,
     cmp_len: int = TABLE_BITS,  # static; >= chunk max code length (cmp_len_bucket)
+    refill_words: int = 1,   # static; words fetched per refill gather (1/2/4/8)
 ):
     """Decode ``num_subblocks x subblock`` symbols → uint8[num_subblocks*subblock].
 
     Sub-blocks beyond the real data decode garbage from padded state; callers
-    slice to the true symbol count.  Measured on a v5e chip: 112 ms / 16 MB
-    chunk (149 MB/s) at 2 symbols/step vs 230 ms for a table-gather
-    formulation — the word refill is the only remaining gather, so shallow
-    codebooks that allow 3-4 symbols per refill cut it further.
+    slice to the true symbol count.
+
+    The decode step's only gather is the window refill, and the gather's cost
+    is per *index*, not per fetched word (measured on v5e at decode shape —
+    4096-lane gathers inside a scan: 13.3 ns/index for 1-word rows,
+    10.9 ns/index for 4-word rows).  ``refill_words=W`` therefore fetches
+    W-word rows of the stream per refill and decodes
+    ``syms_per_refill(max_len, subblock, W)`` symbols per step from a
+    ``V = 2W+1``-register bit window, cutting the refill gathers ~W-fold:
+
+    * window: V uint32 registers, MSB-first; ``nb`` counts valid bits;
+    * invariant: a step starts with ``nb > 32*(V-W) = 32*(W+1)``, consumes
+      at most ``k*max_len <= 32*W`` bits, so every in-step decode sees >= 33
+      valid bits (>= the 16-bit comparison window);
+    * refill: when ``nb <= 32*(W+1)``, one row gather appends W whole words
+      at bit offset ``nb`` (possible because init discards the gap's leading
+      bits so validity always ends on a stream word boundary), restoring the
+      invariant; ``wi`` stays W-aligned via up-to-W-1 masked single-word
+      appends at init.
     """
     k = syms_per_step
+    W = refill_words
     assert subblock % k == 0, "symbols-per-step must divide the sub-block"
-    assert 1 <= k <= 4, "invalid syms_per_step"
-    nwords = words.shape[0]
+    assert W in (1, 2, 4, 8), "refill-words must be 1, 2, 4 or 8"
+    assert 1 <= k <= 32 and k * 1 <= 32 * W, "invalid syms_per_step"
     u32 = jnp.uint32
 
-    # Init: load two words, discard the bi leading bits.  The buffer's valid
+    # Pad the stream so row gathers stay in range: W-alignment + one spare
+    # row beyond any clipped index.
+    pad = (-words.shape[0]) % W + 2 * W
+    words = jnp.concatenate([words, jnp.zeros(pad, u32)])
+    nwords = words.shape[0]
+    rows = words.reshape(-1, W) if W > 1 else None
+
+    V = 2 if W == 1 else 2 * W + 1  # window registers (W=1 keeps the r1 shape)
+    cap = 32 * V
+
+    def append_word(regs, nb, w, valid):
+        """OR word ``w`` into the window at per-lane bit offset ``nb`` where
+        ``valid``; returns updated regs.  ``nb`` may be any value in
+        [1, cap-32] when valid."""
+        out = []
+        for r in range(V):
+            d = nb - 32 * r  # w's bits land at reg-local offset d
+            hi_part = jnp.where(
+                valid & (d >= 0) & (d < 32),
+                w >> jnp.clip(d, 0, 31).astype(u32),
+                u32(0),
+            )
+            lo_part = jnp.where(
+                valid & (d > -32) & (d < 0),
+                w << jnp.clip(-d, 0, 31).astype(u32),
+                u32(0),
+            )
+            out.append(regs[r] | hi_part | lo_part)
+        return out
+
+    # Init: load two words, discard the bi leading bits.  The window's valid
     # bits then END at stream word boundary wi0+2, so refills can append
     # whole words at bit offset nb.
     pos0 = gaps.astype(jnp.int32)
@@ -133,10 +198,47 @@ def decode_device(
     bis = jnp.maximum(bi, u32(1))
     w0 = words[jnp.clip(wi0, 0, nwords - 1)]
     w1 = words[jnp.clip(wi0 + 1, 0, nwords - 1)]
-    hi0 = jnp.where(bi > 0, (w0 << bi) | (w1 >> (u32(32) - bis)), w0)
-    lo0 = jnp.where(bi > 0, w1 << bi, w1)
-    nb0 = (64 - bi).astype(jnp.int32)   # valid bits in (hi, lo), 33..64
+    regs = [jnp.zeros_like(w0) for _ in range(V)]
+    regs[0] = jnp.where(bi > 0, (w0 << bi) | (w1 >> (u32(32) - bis)), w0)
+    regs[1] = jnp.where(bi > 0, w1 << bi, w1)
+    nb = (64 - bi).astype(jnp.int32)    # valid bits, 33..64
     wi = wi0 + 2                        # next unread word
+    def refill(regs, nb, wi):
+        """Masked W-word row refill at bit offset ``nb`` (shared by the scan
+        step and the W>1 pre-scan fill)."""
+        need = nb <= cap - 32 * W
+        if W == 1:
+            w = words[jnp.clip(wi, 0, nwords - 1)]
+            ofs = jnp.clip(nb, 0, 32).astype(u32)
+            hi_add = jnp.where(ofs < 32, w >> ofs, u32(0))
+            lo_add = jnp.where(
+                ofs > 0, w << (u32(32) - jnp.maximum(ofs, u32(1))), u32(0)
+            )
+            regs = [
+                jnp.where(need, regs[0] | hi_add, regs[0]),
+                jnp.where(need, regs[1] | lo_add, regs[1]),
+            ]
+        else:
+            row = rows[jnp.clip(wi // W, 0, nwords // W - 1)]  # (NL, W) gather
+            for j in range(W):
+                regs = append_word(regs, nb + 32 * j, row[:, j], need)
+        nb = nb + jnp.where(need, 32 * W, 0)
+        wi = wi + jnp.where(need, W, 0)
+        return regs, nb, wi
+
+    if W > 1:
+        # masked single-word appends until wi is W-aligned (per-lane counts
+        # differ; at most W-1 extra gathers, once per sub-block)
+        for _ in range(W - 1):
+            misaligned = (wi % W) != 0
+            w = words[jnp.clip(wi, 0, nwords - 1)]
+            regs = append_word(regs, nb, w, misaligned)
+            nb = nb + jnp.where(misaligned, 32, 0)
+            wi = wi + misaligned.astype(jnp.int32)
+        # pre-scan fill: init leaves as few as 33 valid bits, but a wide
+        # step consumes up to 32*W — one row refill establishes the
+        # start-of-step invariant nb > 32*(W+1)
+        regs, nb, wi = refill(regs, nb, wi)
 
     r16 = jnp.arange(table_bits, dtype=jnp.int32)
     symT = sym.reshape(16, 16).astype(jnp.bfloat16)  # canonical idx = 16h + l
@@ -153,8 +255,8 @@ def decode_device(
         [adj[1:cmp_len] - adj[: cmp_len - 1], jnp.zeros(1, adj.dtype)]
     )
 
-    def decode1(hi, lo, nb):
-        win = (hi >> u32(32 - table_bits)).astype(jnp.int32)
+    def decode1(regs, nb):
+        win = (regs[0] >> u32(32 - table_bits)).astype(jnp.int32)
         # canonical boundaries are monotone in win: length = 1 + #(boundaries
         # at or below win).  Saturates at cmp_len for invalid windows
         # (garbage lanes) — decode still makes progress, checksums catch it.
@@ -169,29 +271,23 @@ def decode_device(
             "nh,hl,nl->n", ohh, symT, ohw, preferred_element_type=jnp.float32
         )
         s = ln.astype(u32)  # 1..16: shifts stay in range
-        hi2 = (hi << s) | (lo >> (u32(32) - s))
-        lo2 = lo << s
-        return hi2, lo2, nb - ln, s_val.astype(jnp.uint8)
+        shifted = [
+            (regs[r] << s) | (regs[r + 1] >> (u32(32) - s)) for r in range(V - 1)
+        ] + [regs[V - 1] << s]
+        return shifted, nb - ln, s_val.astype(jnp.uint8)
 
     def step(state, _):
-        hi, lo, nb, wi = state
+        regs, nb, wi = state
         outs = []
         for _j in range(k):
-            hi, lo, nb, s_j = decode1(hi, lo, nb)
+            regs, nb, s_j = decode1(regs, nb)
             outs.append(s_j)
-        # masked single-word refill: place the next word at bit offset nb
-        w = words[jnp.clip(wi, 0, nwords - 1)]
-        need = nb <= 32
-        ofs = jnp.clip(nb, 0, 32).astype(u32)
-        hi_add = jnp.where(ofs < 32, w >> ofs, u32(0))
-        lo_add = jnp.where(ofs > 0, w << (u32(32) - jnp.maximum(ofs, u32(1))), u32(0))
-        hi = jnp.where(need, hi | hi_add, hi)
-        lo = jnp.where(need, lo | lo_add, lo)
-        nb = nb + jnp.where(need, 32, 0)
-        wi = wi + need.astype(jnp.int32)
-        return (hi, lo, nb, wi), tuple(outs)
+        regs, nb, wi = refill(regs, nb, wi)
+        return (regs, nb, wi), tuple(outs)
 
-    _, outs = jax.lax.scan(step, (hi0, lo0, nb0, wi), None, length=subblock // k)
+    (regs, nb, wi), outs = jax.lax.scan(
+        step, (regs, nb, wi), None, length=subblock // k
+    )
     # (steps, NL) tuples → per-lane sequential symbol order
     syms = jnp.stack(outs, axis=1)               # (steps, k, NL)
     return syms.transpose(2, 0, 1).reshape(num_subblocks * subblock)

@@ -90,7 +90,8 @@ def sharded_compress_arrays(mesh: Mesh, data_batch, valid_batch, subblock: int =
 
 
 def check_decompress_step_params(
-    code_lengths_batch, subblock: int, syms_per_step: int, cmp_len: int
+    code_lengths_batch, subblock: int, syms_per_step: int, cmp_len: int,
+    refill_words: int = 1,
 ) -> None:
     """Validate static decode parameters against every codebook in a batch.
 
@@ -115,11 +116,12 @@ def check_decompress_step_params(
         )
     if subblock % syms_per_step:
         raise ValueError(f"syms_per_step={syms_per_step} must divide subblock={subblock}")
-    if ml and syms_per_step > syms_per_refill(ml, subblock):
+    if ml and syms_per_step > syms_per_refill(ml, subblock, refill_words):
         raise ValueError(
             f"syms_per_step={syms_per_step} exceeds the refill budget for "
-            f"{ml}-bit codes (max {syms_per_refill(ml, subblock)}); decode "
-            "would under-refill and corrupt output"
+            f"{ml}-bit codes (max {syms_per_refill(ml, subblock, refill_words)} "
+            f"at refill_words={refill_words}); decode would under-refill and "
+            "corrupt output"
         )
 
 
@@ -130,6 +132,7 @@ def make_sharded_decompress_step(
     syms_per_step: int,
     cmp_len: int = 16,
     axis_name: str = BLOCKS_AXIS,
+    refill_words: int = 1,
 ):
     """Build the jitted sharded DECOMPRESS step: chunks shard over the mesh,
     each device vmaps the gap-array decoder (``ops/decode.py``) over its local
@@ -156,6 +159,7 @@ def make_sharded_decompress_step(
             lambda w, g, l, a, s: decode_device(
                 w, g, l, a, s, subblock, num_subblocks,
                 syms_per_step=syms_per_step, cmp_len=cmp_len,
+                refill_words=refill_words,
             )
         )(words, gaps, limits, adj, sym)
 
@@ -180,6 +184,7 @@ def sharded_decompress_arrays(
     import numpy as np
 
     from ..ops.decode import (
+        DEFAULT_REFILL_WORDS,
         build_decode_tables,
         cmp_len_bucket,
         max_code_len,
@@ -188,13 +193,19 @@ def sharded_decompress_arrays(
 
     code_lengths_batch = [np.asarray(lens) for lens in code_lengths_batch]
     ml = max((max_code_len(lens) for lens in code_lengths_batch), default=1)
-    syms_per_step = syms_per_refill(ml, subblock)
+    refill_words = DEFAULT_REFILL_WORDS
+    syms_per_step = syms_per_refill(ml, subblock, refill_words)
     cmp_len = cmp_len_bucket(ml)
-    check_decompress_step_params(code_lengths_batch, subblock, syms_per_step, cmp_len)
+    check_decompress_step_params(
+        code_lengths_batch, subblock, syms_per_step, cmp_len, refill_words
+    )
     gaps_batch = np.asarray(gaps_batch, dtype=np.uint32)
     num_subblocks = gaps_batch.shape[1]
     tables = [build_decode_tables(lens) for lens in code_lengths_batch]
-    step = make_sharded_decompress_step(mesh, subblock, num_subblocks, syms_per_step, cmp_len)
+    step = make_sharded_decompress_step(
+        mesh, subblock, num_subblocks, syms_per_step, cmp_len,
+        refill_words=refill_words,
+    )
     return step(
         jnp.asarray(np.asarray(words_batch, dtype=np.uint32)),
         jnp.asarray(gaps_batch),

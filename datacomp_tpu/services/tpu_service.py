@@ -33,6 +33,7 @@ from ..ops import (
     TABLE_BITS,
     build_decode_tables,
     cmp_len_bucket,
+    DEFAULT_REFILL_WORDS,
     decode_device,
     device_codebook,
     encode_device_merge,
@@ -392,12 +393,14 @@ class TpuChunkCodec(ChunkCodec):
             # one device_put call for all five arrays: the relay charges a
             # full latency per transfer call, not per byte
             wd, gd, ld, ad, sd = jax.device_put((wpad, gpad, limits, adj, sym), dev)
+            ml = max_code_len(meta.code_lengths)
             out = decode_device(
                 wd, gd, ld, ad, sd,
                 s,
                 nsub_static,
-                syms_per_step=syms_per_refill(max_code_len(meta.code_lengths), s),
-                cmp_len=cmp_len_bucket(max_code_len(meta.code_lengths)),
+                syms_per_step=syms_per_refill(ml, s, DEFAULT_REFILL_WORDS),
+                cmp_len=cmp_len_bucket(ml),
+                refill_words=DEFAULT_REFILL_WORDS,
             )
             return np.asarray(out)[: meta.original_size]
 

@@ -169,6 +169,37 @@ class TestDecodeDevice:
             )
             assert np.array_equal(out[: data.size], data), f"k={k} mismatch"
 
+    @pytest.mark.parametrize("kind", ["text", "skewed", "random"])
+    @pytest.mark.parametrize("refill_words", [2, 4])
+    def test_wide_refill_roundtrip(self, kind, refill_words):
+        """W-word row refills (the per-index gather amortization) decode
+        bit-identically, including mid-word gap offsets and deep codebooks."""
+        from datacomp_tpu.ops import cmp_len_bucket, syms_per_refill
+
+        S = 504  # 2^3*3^2*7: divisible by the wide per-step symbol counts
+        data = np.frombuffer(generate_bytes(kind, 33_333), np.uint8)
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        maxlen = int(lens.max())
+        enc = encode_bitstream(data, lens, codes)
+        l64 = lens.astype(np.int64)[data]
+        starts = np.cumsum(l64) - l64
+        gaps = starts[::S].astype(np.uint32)
+        Mpad = 80
+        gpad = np.zeros(Mpad, np.uint32)
+        gpad[: gaps.size] = gaps
+        limits, adj, sym = build_decode_tables(lens)
+        k = syms_per_refill(maxlen, S, refill_words)
+        assert k > syms_per_refill(maxlen, S, 1) or refill_words == 2
+        out = np.asarray(
+            decode_device(
+                jnp.asarray(payload_to_words(enc)), jnp.asarray(gpad),
+                jnp.asarray(limits), jnp.asarray(adj), jnp.asarray(sym),
+                S, Mpad, syms_per_step=k, cmp_len=cmp_len_bucket(maxlen),
+                refill_words=refill_words,
+            )
+        )
+        assert np.array_equal(out[: data.size], data)
+
     def test_table_rejects_deep_codes(self):
         f = np.zeros(256, np.int64)
         a, b = 1, 1

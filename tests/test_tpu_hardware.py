@@ -42,8 +42,9 @@ print("HW-HISTOGRAM-OK", flush=True)
 # 2. encode + decode round trip entirely on chip
 from datacomp_tpu.core.huffman import build_codebook
 from datacomp_tpu.ops import (
-    build_decode_tables, decode_device, encode_device_merge, max_code_len,
-    payload_to_words, syms_per_refill, words_to_bytes,
+    DEFAULT_REFILL_WORDS, build_decode_tables, decode_device,
+    encode_device_merge, max_code_len, payload_to_words, syms_per_refill,
+    words_to_bytes,
 )
 sb = 96
 n = sb * 32
@@ -62,7 +63,9 @@ nsub = n // sb
 out = decode_device(
     jnp.asarray(payload_to_words(payload)), jnp.asarray(np.asarray(gaps)[:nsub]),
     jnp.asarray(limits), jnp.asarray(adj), jnp.asarray(sym),
-    sb, nsub, syms_per_step=syms_per_refill(maxlen, sb),
+    sb, nsub,
+    syms_per_step=syms_per_refill(maxlen, sb, DEFAULT_REFILL_WORDS),
+    refill_words=DEFAULT_REFILL_WORDS,
 )
 assert np.array_equal(np.asarray(out)[:n], data), "on-chip round trip mismatch"
 print("HW-ROUNDTRIP-OK", flush=True)

@@ -55,6 +55,10 @@ def _time_service(svc, src, dcz, out, iters):
         t0 = time.perf_counter()
         svc.compress(src, dcz)
         times.append(time.perf_counter() - t0)
+    # warm the decompress executables too: each fresh process pays a one-time
+    # program load per executable (minutes-scale through the relay), which is
+    # an environment artifact, not steady-state throughput
+    svc.decompress(dcz, out)
     dec_times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -114,7 +118,7 @@ def main() -> int:
             # on a cold cache; the CPU result is still a valid headline.
             import threading
 
-            tpu_budget = float(os.environ.get("BENCH_TPU_TIMEOUT_S", "360"))
+            tpu_budget = float(os.environ.get("BENCH_TPU_TIMEOUT_S", "600"))
 
             def tpu_leg():
                 try:

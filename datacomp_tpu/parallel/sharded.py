@@ -30,14 +30,32 @@ from ..ops.histogram import histogram_device
 from .mesh import BLOCKS_AXIS
 
 
-def _chunk_pipeline(data, valid_len, out_words: int, subblock: int):
+def _chunk_pipeline(data, valid_len, out_words: int, subblock: int,
+                    hist_fn=histogram_device):
     """Single-chunk device pipeline: histogram → codebook → encode."""
-    hist = histogram_device(data, valid_len)
+    hist = hist_fn(data, valid_len)
     lengths, codes = device_codebook(hist)
     words, total_bits, gaps = encode_device_merge(
         data, valid_len, lengths, codes, out_words, subblock
     )
     return hist, lengths, codes, words, total_bits, gaps
+
+
+def _mesh_histogram_fn(mesh: Mesh):
+    """Histogram formulation for this mesh's platform: the Pallas packed-8
+    kernel on real devices, the XLA matmul formulation on CPU platforms
+    (virtual test meshes / dryrun), mirroring the single-chip service's
+    ``device.histogram_backend`` default."""
+    try:
+        platform = next(iter(mesh.devices.flat)).platform
+    except Exception:  # pragma: no cover - exotic mesh; keep the safe path
+        platform = "cpu"
+    if platform != "cpu":
+        from ..ops.histogram_pallas import histogram_pallas, pallas_available
+
+        if pallas_available():
+            return histogram_pallas
+    return histogram_device
 
 
 def make_sharded_compress_step(
@@ -51,11 +69,12 @@ def make_sharded_compress_step(
     where ``offsets`` are the global compressed file offsets of each chunk.
     """
     out_words = (9 * chunk_bytes + 31) // 32 + 2
+    hist_fn = _mesh_histogram_fn(mesh)
 
     def per_device(data, valid):
         # data: (b_local, chunk_bytes); vmap the single-chunk pipeline
         hist, lengths, codes, words, total_bits, gaps = jax.vmap(
-            lambda d, v: _chunk_pipeline(d, v, out_words, subblock)
+            lambda d, v: _chunk_pipeline(d, v, out_words, subblock, hist_fn)
         )(data, valid)
         comp_bytes = (total_bits + 7) // 8
         # global exclusive cumsum of compressed sizes over the mesh axis:

@@ -156,7 +156,10 @@ def decode_device(
     W = refill_words
     assert subblock % k == 0, "symbols-per-step must divide the sub-block"
     assert W in (1, 2, 4, 8), "refill-words must be 1, 2, 4 or 8"
-    assert 1 <= k <= 32 and k * 1 <= 32 * W, "invalid syms_per_step"
+    # the real budget, k * max_len <= 32 * W, cannot be checked here (max_len
+    # is not an argument) — it is enforced host-side by syms_per_refill /
+    # check_decompress_step_params before dispatch
+    assert 1 <= k <= 32, "invalid syms_per_step"
     u32 = jnp.uint32
 
     # Pad the stream so row gathers stay in range: W-alignment + one spare

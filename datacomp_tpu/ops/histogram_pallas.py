@@ -47,6 +47,20 @@ Exactness: one-hot products are 0/1 (exact in bf16); the MXU accumulates in
 f32, and each accumulator entry counts at most ``rows`` < 2^24 bytes, so all
 counts are exactly representable.  The public wrapper asserts chunks stay
 below that bound.
+
+vmap-safety of the accumulate-in-place pattern: ``jax.vmap`` of a
+``pallas_call`` prepends the batch axis to the grid
+(``jax/_src/pallas/pallas_call.py`` batching rule), but it also records it in
+``grid_mapping.vmapped_dims``, and both the Mosaic lowering and the
+interpreter *filter vmapped dims out of the kernel-visible grid indices*
+(``jax/_src/pallas/mosaic/lowering.py`` ``_get_grid_indices`` /
+``_program_id_lowering_rule``; ``hlo_interpreter.py`` does the same), so
+``pl.program_id(0)`` inside the kernel keeps meaning "first USER grid axis"
+under vmap and the ``step == 0`` zero-init fires once per batch element, at
+its first block.  Pinned by a vmapped regression test
+(``tests/test_ops.py::TestHistogramPallas::test_vmapped_batches``) so a JAX
+upgrade that changes this contract fails loudly instead of corrupting
+codebooks.
 """
 
 from __future__ import annotations

@@ -41,16 +41,17 @@ def _chunk_pipeline(data, valid_len, out_words: int, subblock: int,
     return hist, lengths, codes, words, total_bits, gaps
 
 
-def _mesh_histogram_fn(mesh: Mesh):
+def _mesh_histogram_fn(mesh: Mesh, histogram_backend: str = "pallas"):
     """Histogram formulation for this mesh's platform: the Pallas packed-8
-    kernel on real devices, the XLA matmul formulation on CPU platforms
-    (virtual test meshes / dryrun), mirroring the single-chip service's
-    ``device.histogram_backend`` default."""
+    kernel on real devices (``histogram_backend="pallas"``, the
+    ``device.histogram_backend`` default), the XLA matmul formulation when
+    the config says ``"xla"`` or on CPU platforms (virtual test meshes /
+    dryrun), where Mosaic cannot compile."""
     try:
         platform = next(iter(mesh.devices.flat)).platform
     except Exception:  # pragma: no cover - exotic mesh; keep the safe path
         platform = "cpu"
-    if platform != "cpu":
+    if histogram_backend == "pallas" and platform != "cpu":
         from ..ops.histogram_pallas import histogram_pallas, pallas_available
 
         if pallas_available():
@@ -59,7 +60,8 @@ def _mesh_histogram_fn(mesh: Mesh):
 
 
 def make_sharded_compress_step(
-    mesh: Mesh, chunk_bytes: int, subblock: int = 4096, axis_name: str = BLOCKS_AXIS
+    mesh: Mesh, chunk_bytes: int, subblock: int = 4096, axis_name: str = BLOCKS_AXIS,
+    histogram_backend: str = "pallas",
 ):
     """Build the jitted sharded compress step.
 
@@ -67,9 +69,11 @@ def make_sharded_compress_step(
     multiple of the mesh size; returns per-chunk
     ``(hists, lengths, codes, words, total_bits, gaps, comp_bytes, offsets)``
     where ``offsets`` are the global compressed file offsets of each chunk.
+    ``histogram_backend`` honors ``AppConfig.device.histogram_backend``
+    (``"xla"`` forces the matmul formulation on any platform).
     """
     out_words = (9 * chunk_bytes + 31) // 32 + 2
-    hist_fn = _mesh_histogram_fn(mesh)
+    hist_fn = _mesh_histogram_fn(mesh, histogram_backend)
 
     def per_device(data, valid):
         # data: (b_local, chunk_bytes); vmap the single-chunk pipeline
@@ -97,13 +101,18 @@ def make_sharded_compress_step(
     return jax.jit(step)
 
 
-def sharded_compress_arrays(mesh: Mesh, data_batch, valid_batch, subblock: int = 4096):
+def sharded_compress_arrays(
+    mesh: Mesh, data_batch, valid_batch, subblock: int = 4096,
+    histogram_backend: str = "pallas",
+):
     """Convenience wrapper: run the sharded step on host arrays."""
     import numpy as np
 
     data_batch = np.asarray(data_batch, dtype=np.uint8)
     chunk_bytes = data_batch.shape[1]
-    step = make_sharded_compress_step(mesh, chunk_bytes, subblock)
+    step = make_sharded_compress_step(
+        mesh, chunk_bytes, subblock, histogram_backend=histogram_backend
+    )
     valid = jnp.asarray(np.asarray(valid_batch, dtype=np.int32))
     return step(jnp.asarray(data_batch), valid)
 

@@ -113,9 +113,10 @@ class TpuFrequencyService(FrequencyService):
         dev = self._ensure_device()
         x = jax.device_put(view, dev)
         if self.config.device.histogram_backend == "pallas" and dev.platform != "cpu":
-            from ..ops.histogram_pallas import histogram_pallas
+            from ..ops.histogram_pallas import histogram_pallas, pallas_available
 
-            return np.asarray(histogram_pallas(x, jnp.int32(length))).astype(np.int64)
+            if pallas_available():  # import may have failed: fall through to XLA
+                return np.asarray(histogram_pallas(x, jnp.int32(length))).astype(np.int64)
         return np.asarray(histogram_device(x, jnp.int32(length))).astype(np.int64)
 
     def is_available(self) -> bool:
@@ -171,9 +172,10 @@ class TpuChunkCodec(ChunkCodec):
             self.config.device.histogram_backend == "pallas"
             and dev.platform != "cpu"
         ):
-            from ..ops import histogram_pallas
+            from ..ops import histogram_pallas, pallas_available
 
-            return histogram_pallas
+            if pallas_available():  # import may have failed: fall back to XLA
+                return histogram_pallas
         return histogram_device
 
     def _fused_pipeline(self):

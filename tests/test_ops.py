@@ -56,6 +56,27 @@ class TestHistogramPallas:
         )
         assert np.array_equal(h, np.bincount(data[:n], minlength=256))
 
+    def test_vmapped_batches(self, rng):
+        """vmap prepends a batch axis to the pallas grid; the accumulator
+        zero-init keys off ``pl.program_id(0)``, which must keep meaning the
+        first USER grid axis (jax filters ``vmapped_dims`` out of the
+        kernel-visible grid indices).  Regression test for a suspected
+        stale-accumulator bug under vmap (advisor r2): every batch element
+        must histogram its OWN data across a multi-step grid."""
+        from datacomp_tpu.ops.histogram_pallas import histogram_pallas
+
+        B, cap = 3, 1 << 15  # rows=64 -> 4 grid steps per batch element
+        data = rng.integers(0, 256, (B, cap)).astype(np.uint8)
+        valid = np.array([cap, cap - 12345, 7], np.int32)
+        out = np.asarray(
+            jax.vmap(
+                lambda d, v: histogram_pallas(d, v, rows=64, interpret=True)
+            )(jnp.asarray(data), jnp.asarray(valid))
+        )
+        for b in range(B):
+            want = np.bincount(data[b, : valid[b]], minlength=256)
+            assert np.array_equal(out[b], want), f"batch {b} corrupt"
+
     def test_segments_beyond_exact_bound(self, rng):
         """Chunks past the 2^24 f32-exact bound split into exact segments."""
         import importlib
@@ -170,7 +191,7 @@ class TestDecodeDevice:
             assert np.array_equal(out[: data.size], data), f"k={k} mismatch"
 
     @pytest.mark.parametrize("kind", ["text", "skewed", "random"])
-    @pytest.mark.parametrize("refill_words", [2, 4])
+    @pytest.mark.parametrize("refill_words", [2, 4, 8])
     def test_wide_refill_roundtrip(self, kind, refill_words):
         """W-word row refills (the per-index gather amortization) decode
         bit-identically, including mid-word gap offsets and deep codebooks."""

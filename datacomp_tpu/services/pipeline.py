@@ -148,6 +148,14 @@ class ChunkedPipeline:
         self.codec = codec
         self.workers = workers or config.effective_cpu_threads()
         self._executor = ThreadPoolExecutor(max_workers=self.workers)
+        # Hard backpressure for compress: at most `window` chunks may be
+        # in flight (running OR completed-but-unwritten) at once, so a slow
+        # head-of-line chunk (e.g. one deep-codebook package-merge among
+        # raw-store neighbors) cannot balloon RSS with finished payloads.
+        # 2x workers keeps the pool fed across the ordered writer's stalls —
+        # the reference's sliding-window scheduler bounds in-flight chunks
+        # the same way (gpu/GpuCompressionService.java:232-320).
+        self.window = max(2 * self.workers, 4)
         self._closed = False
 
     # -- compress -----------------------------------------------------------
@@ -228,12 +236,20 @@ class ChunkedPipeline:
                     enc = self.codec.encode_chunk(data, metrics)
                     return index, offset, n, enc
 
-                futures = [
-                    self._executor.submit(job, i) for i in range(resume_from, num_chunks)
-                ]
-                for fi, fut in enumerate(futures):
-                    index, offset, n, enc = fut.result()
-                    futures[fi] = None  # release the chunk's buffer views
+                # bounded sliding window: submit up to `window` jobs, then
+                # one-in-one-out as the ordered writer drains the head
+                from collections import deque
+                from itertools import islice
+
+                todo = iter(range(resume_from, num_chunks))
+                inflight = deque(
+                    self._executor.submit(job, i) for i in islice(todo, self.window)
+                )
+                while inflight:
+                    index, offset, n, enc = inflight.popleft().result()
+                    nxt = next(todo, None)
+                    if nxt is not None:
+                        inflight.append(self._executor.submit(job, nxt))
                     with metrics.timed(Stage.FILE_IO, len(enc.payload)):
                         out.write(enc.payload)
                     meta = ct.ChunkMeta(

@@ -241,3 +241,84 @@ def test_deep_verify_detects_payload_corruption(tmp_path):
         raw[1000] ^= 0x10  # flip a payload bit in chunk 0
         open(dcz, "wb").write(bytes(raw))
         assert svc.verify_integrity(dcz, deep=True) is False
+
+
+def test_compress_backpressure_bounds_inflight(tmp_path):
+    """Hard backpressure: a 30x-slower head-of-line chunk must not let
+    completed-but-unwritten payloads pile up without bound.  The sliding
+    submit window caps in-flight chunks (running + finished-unwritten) at
+    ``pipeline.window``, matching the reference's bounded sliding-window
+    scheduler (``gpu/GpuCompressionService.java:232-320``)."""
+    import threading
+    import time
+
+    from datacomp_tpu.services.cpu_service import CpuChunkCodec
+    from datacomp_tpu.services.pipeline import ChunkCodec, ChunkedPipeline
+
+    cfg = load_config(compression={"chunk_size_mb": 1})
+    chunk = 1024 * 1024
+    num_chunks = 16
+    data = bytearray(generate_bytes("text", chunk * num_chunks))
+    data[0] = 0xAA  # marker byte: the codec blocks on chunk 0 ("text" is ASCII)
+    src = tmp_path / "skew.bin"
+    src.write_bytes(bytes(data))
+
+    release = threading.Event()
+    head_blocked = threading.Event()
+    done_while_blocked = []
+    lock = threading.Lock()
+
+    class SkewCodec(ChunkCodec):
+        """Chunk 0 stalls until released; others count completions that
+        happen while the head is still stalled."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def encode_chunk(self, d, metrics):
+            enc = self.inner.encode_chunk(d, metrics)
+            if d.size and d[0] == 0xAA:
+                head_blocked.set()
+                release.wait(timeout=60)
+            elif not release.is_set():
+                with lock:
+                    done_while_blocked.append(1)
+            return enc
+
+        def decode_chunk(self, payload, meta, header, metrics):
+            return self.inner.decode_chunk(payload, meta, header, metrics)
+
+    pipe = ChunkedPipeline(cfg, SkewCodec(CpuChunkCodec(cfg)), workers=2)
+    dcz = str(src) + ".dcz"
+    errors = []
+
+    def run():
+        try:
+            pipe.compress(str(src), dcz)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        assert head_blocked.wait(timeout=60)
+        # drain: with the window full and the head unwritten, no further
+        # chunk may even be submitted — wait for the allowed tail to finish
+        deadline = time.monotonic() + 10
+        cap = pipe.window - 1  # head occupies one window slot
+        while time.monotonic() < deadline and len(done_while_blocked) < cap:
+            time.sleep(0.05)
+        time.sleep(0.75)  # grace period: would-be over-submissions surface here
+        assert len(done_while_blocked) <= cap, (
+            f"{len(done_while_blocked)} chunks completed while the head was "
+            f"blocked; window={pipe.window} should bound in-flight work"
+        )
+    finally:
+        release.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    # ordered output is still correct end to end
+    out = str(src) + ".out"
+    pipe.decompress(dcz, out)
+    pipe.close()
+    assert open(out, "rb").read() == bytes(data)

@@ -153,7 +153,10 @@ def parse_footer(data: bytes, off: int = 0) -> ContainerHeader:
     name_len = r.i32()
     if name_len < 0 or name_len > 65536:
         raise ContainerError("implausible filename length")
-    name = r.take(name_len).decode("utf-8")
+    try:
+        name = r.take(name_len).decode("utf-8")
+    except UnicodeDecodeError as e:  # corrupted name bytes, not a crash
+        raise ContainerError(f"invalid filename encoding: {e}") from e
     file_size = r.i64()
     timestamp = r.i64()
     chunk_size = r.i32()
@@ -273,7 +276,13 @@ def scan_for_footer(path: str, window: int = 64 * 1024):
     """Scan the last ``window`` bytes for a parsable footer (integrity-check
     fallback, mirroring ``CpuCompressionService.verifyIntegrity:644-696``).
     Candidate offsets come from searching for the big-endian magic, not from
-    attempting a parse at every byte position."""
+    attempting a parse at every byte position.
+
+    Returns ``(header, footer_abs_offset)`` or ``None``.  The absolute file
+    offset where the footer parsed tells the caller which layout it found:
+    offset 0 is the legacy header-first layout (payloads at the END of the
+    file, ``CpuCompressionService.java:328-393``), anything else is the
+    footer-last layout (payloads start at offset 0)."""
     with open(path, "rb") as f:
         f.seek(0, 2)
         total = f.tell()
@@ -286,7 +295,7 @@ def scan_for_footer(path: str, window: int = 64 * 1024):
         try:
             h = parse_footer(buf, off)
             if h.num_chunks > 0 and h.original_file_size > 0:
-                return h
+                return h, total - w + off
         except ContainerError:
             pass
         off = buf.find(magic_be, off + 1)

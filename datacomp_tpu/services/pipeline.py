@@ -107,7 +107,10 @@ def read_partial(path: str):
         raise ct.ContainerError("not a .dcz partial progress file")
     version = r.i32()
     name_len = r.i32()
-    name = r.take(name_len).decode("utf-8")
+    try:
+        name = r.take(name_len).decode("utf-8")
+    except UnicodeDecodeError as e:  # torn sidecar write
+        raise ct.ContainerError(f"invalid partial-file name encoding: {e}") from e
     size = r.i64()
     ts = r.i64()
     chunk_size = r.i32()
@@ -377,10 +380,22 @@ class ChunkedPipeline:
         try:
             header, data_start = ct.read_container(compressed_path)
         except ct.ContainerError:
-            h = ct.scan_for_footer(compressed_path)
-            if h is None:
+            found = ct.scan_for_footer(compressed_path)
+            if found is None:
                 return False
-            header, data_start = h, 0
+            header, footer_off = found
+            if footer_off == 0:
+                # legacy header-first layout: payloads are at the END of the
+                # file (CpuCompressionService.java:328-393) — data_start=0
+                # would deep-verify the wrong byte ranges
+                data_start = (
+                    os.path.getsize(compressed_path)
+                    - header.total_compressed_size()
+                )
+                if data_start < 0:
+                    return False
+            else:
+                data_start = 0
         total = os.path.getsize(compressed_path)
         expected_payload = header.total_compressed_size()
         if data_start + expected_payload > total:

@@ -215,7 +215,9 @@ def test_scan_for_footer_finds_valid_footer(tmp_path):
     with open(p, "wb") as f:
         write_container(f, h, [b"a" * 50, b"b" * 51])
     found = scan_for_footer(str(p))
-    assert found is not None and found.num_chunks == 2
+    assert found is not None
+    fh, off = found
+    assert fh.num_chunks == 2 and off == 101  # footer right after the payloads
 
 
 def test_scan_for_footer_skips_decoy_magic(tmp_path):
@@ -226,8 +228,10 @@ def test_scan_for_footer_skips_decoy_magic(tmp_path):
     with open(p, "wb") as f:
         write_container(f, h, [decoy + b"a" * 34, b"b" * 51])
     found = scan_for_footer(str(p))
-    assert found is not None and found.num_chunks == 2
-    assert found.original_file_name == "input.bin"
+    assert found is not None
+    fh, off = found
+    assert fh.num_chunks == 2 and off == 105
+    assert fh.original_file_name == "input.bin"
 
 
 def test_scan_for_footer_no_footer(tmp_path):

@@ -322,3 +322,62 @@ def test_compress_backpressure_bounds_inflight(tmp_path):
     pipe.decompress(dcz, out)
     pipe.close()
     assert open(out, "rb").read() == bytes(data)
+
+
+def _rewrite_header_first(dcz: str, legacy: str) -> None:
+    """Re-lay a footer-last .dcz as the legacy header-first layout the
+    reference also reads (CpuCompressionService.java:328-393): footer at
+    offset 0, payloads at the END, no trailing pointer."""
+    from datacomp_tpu.core import container as ct
+
+    header, data_start = read_container(dcz)
+    with open(dcz, "rb") as f:
+        f.seek(data_start)
+        payloads = f.read(header.total_compressed_size())
+    with open(legacy, "wb") as f:
+        f.write(ct.serialize_footer(header))
+        f.write(payloads)
+
+
+def test_deep_verify_scan_fallback_layouts(svc, tmp_path, monkeypatch):
+    """When the primary container read fails and verify falls back to the
+    footer scan, data_start must be derived from the layout the scan found:
+    0 for footer-last, fileSize - sum(compressedSize) for legacy header-first
+    (payloads at the END) — not assumed 0, which would pread wrong ranges
+    and misreport an intact legacy archive as corrupt."""
+    from datacomp_tpu.core import container as ct
+
+    data = generate_bytes("text", 40 * 1024)  # whole file within scan window
+    src = tmp_path / "t.bin"
+    src.write_bytes(data)
+    dcz = str(src) + ".dcz"
+    svc.compress(str(src), dcz)
+
+    # footer-last with a corrupted trailing pointer: scan fallback, data at 0
+    broken = str(tmp_path / "broken-pointer.dcz")
+    raw = bytearray(open(dcz, "rb").read())
+    raw[-8:] = b"\xff" * 8
+    open(broken, "wb").write(bytes(raw))
+    with pytest.raises(ct.ContainerError):
+        read_container(broken)
+    assert svc.verify_integrity(broken, deep=True) is True
+
+    # legacy header-first: footer parses at offset 0, payloads at the end
+    legacy = str(tmp_path / "legacy.dcz")
+    _rewrite_header_first(dcz, legacy)
+    assert svc.verify_integrity(legacy, deep=True) is True  # primary read path
+    # force the scan fallback (any structural primary-read failure)
+    real = ct.read_container
+
+    def boom(path):
+        if path == legacy:
+            raise ct.ContainerError("simulated primary read failure")
+        return real(path)
+
+    monkeypatch.setattr(ct, "read_container", boom)
+    assert svc.verify_integrity(legacy, deep=True) is True
+    # a truncated legacy archive must fail cleanly, not pread negative offsets
+    trunc = str(tmp_path / "legacy-trunc.dcz")
+    lraw = open(legacy, "rb").read()
+    open(trunc, "wb").write(lraw[: len(lraw) // 2])
+    assert svc.verify_integrity(trunc, deep=True) is False

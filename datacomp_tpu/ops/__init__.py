@@ -22,8 +22,9 @@ _enable_compilation_cache()
 
 from .histogram import histogram_device, histogram_np
 from .histogram_pallas import histogram_pallas, pallas_available
-from .encode import encode_device, words_to_bytes
-from .encode_merge import encode_device_merge
+# NOTE: ops/encode_scan_oracle.py is a differential test oracle, deliberately
+# NOT exported — encode_device_merge is the one production encoder.
+from .encode_merge import encode_device_merge, words_to_bytes
 from .decode import (
     DEFAULT_REFILL_WORDS,
     TABLE_BITS,
@@ -41,7 +42,6 @@ __all__ = [
     "histogram_np",
     "histogram_pallas",
     "pallas_available",
-    "encode_device",
     "encode_device_merge",
     "words_to_bytes",
     "DEFAULT_REFILL_WORDS",

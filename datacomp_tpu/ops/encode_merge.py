@@ -212,3 +212,10 @@ def encode_device_merge(
         gaps = gs[:: subblock // GROUP].astype(jnp.uint32)
         return out, total_bits, gaps
     return out, total_bits
+
+
+def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
+    """Serialize device words (uint32, MSB-first bit order) to the byte
+    stream, truncated to the exact encoded length."""
+    nbytes = (int(total_bits) + 7) // 8
+    return np.asarray(words, dtype=np.uint32).astype(">u4").tobytes()[:nbytes]

@@ -1,4 +1,14 @@
-"""Device Huffman encoder: bit-position scan + word-aligned OR-merge.
+"""DIFFERENTIAL ORACLE — not the production encoder.
+
+An independently-formulated device Huffman encoder kept solely so
+``tests/test_ops.py`` can cross-check the production tree-merge encoder
+(``ops/encode_merge.py``) against a second device implementation with a
+completely different structure (scan + searchsorted vs tree merge +
+ownership scatter).  It is slower than the production path (per-symbol
+gathers + a long associative_scan) and is NOT exported from
+``datacomp_tpu.ops`` — use :func:`datacomp_tpu.ops.encode_device_merge`.
+
+Formulation: bit-position scan + word-aligned OR-merge.
 
 TPU-native re-design of the reference's GPU packet encoder
 (``TornadoKernels.encodePacketKernel:115-205`` — one thread per 32-bit output
@@ -28,7 +38,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _seg_or(a, b):
@@ -39,7 +48,7 @@ def _seg_or(a, b):
 
 
 @functools.partial(jax.jit, static_argnames=("out_words", "subblock"))
-def encode_device(
+def encode_device_scan_oracle(
     data: jnp.ndarray,       # uint8[N] padded chunk
     valid_len: jnp.ndarray,  # int32 scalar: real byte count
     lengths: jnp.ndarray,    # int32[256]
@@ -98,10 +107,3 @@ def encode_device(
         gaps = starts[::subblock].astype(jnp.uint32)
         return words, total_bits, gaps
     return words, total_bits
-
-
-def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:
-    """Serialize device words (uint32, MSB-first bit order) to the byte
-    stream, truncated to the exact encoded length."""
-    nbytes = (int(total_bits) + 7) // 8
-    return np.asarray(words, dtype=np.uint32).astype(">u4").tobytes()[:nbytes]

@@ -18,10 +18,12 @@ from datacomp_tpu.ops import (  # noqa: E402
     decode_device,
     device_canonical_codes,
     device_code_lengths,
-    encode_device,
     histogram_device,
     payload_to_words,
     words_to_bytes,
+)
+from datacomp_tpu.ops.encode_scan_oracle import (  # noqa: E402 — test oracle
+    encode_device_scan_oracle,
 )
 from datacomp_tpu.utils.testdata import generate_bytes  # noqa: E402
 
@@ -119,7 +121,11 @@ class TestDeviceCodebook:
         assert (dl == 0).all()
 
 
-class TestEncodeDevice:
+class TestEncodeScanOracle:
+    """The scan-formulation encoder is a DIFFERENTIAL ORACLE (not exported
+    from datacomp_tpu.ops): an independent device implementation the
+    production tree-merge encoder is cross-checked against below."""
+
     @pytest.mark.parametrize("kind", ["text", "compressible", "random", "skewed"])
     @pytest.mark.parametrize("n", [1, 97, 30_000])
     def test_bit_exact_vs_host(self, kind, n):
@@ -128,7 +134,7 @@ class TestEncodeDevice:
         padded = np.zeros(N, np.uint8)
         padded[:n] = data
         lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
-        words, total_bits = encode_device(
+        words, total_bits = encode_device_scan_oracle(
             jnp.asarray(padded), jnp.int32(n), jnp.asarray(lens), jnp.asarray(codes), N
         )
         assert words_to_bytes(np.asarray(words), int(total_bits)) == encode_bitstream(
@@ -136,7 +142,7 @@ class TestEncodeDevice:
         )
 
     def test_empty(self):
-        words, tb = encode_device(
+        words, tb = encode_device_scan_oracle(
             jnp.zeros(1024, jnp.uint8), jnp.int32(0),
             jnp.zeros(256, jnp.int32), jnp.zeros(256, jnp.uint32), 1024,
         )
@@ -148,7 +154,7 @@ class TestEncodeDevice:
         padded = np.zeros(N, np.uint8)
         padded[: data.size] = data
         lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
-        _, _, gaps = encode_device(
+        _, _, gaps = encode_device_scan_oracle(
             jnp.asarray(padded), jnp.int32(data.size),
             jnp.asarray(lens), jnp.asarray(codes), N, 512,
         )

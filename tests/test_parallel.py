@@ -8,7 +8,7 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from datacomp_tpu import native  # noqa: E402
-from datacomp_tpu.ops.encode import words_to_bytes  # noqa: E402
+from datacomp_tpu.ops import words_to_bytes  # noqa: E402
 from datacomp_tpu.parallel import make_mesh, sharded_compress_arrays  # noqa: E402
 from datacomp_tpu.utils.testdata import generate_bytes  # noqa: E402
 

@@ -76,3 +76,47 @@ def test_golden_archives_decode(tmp_path, name):
         svc.decompress(os.path.join(GOLDEN_DIR, name + ".dcz"), str(out))
         assert svc.verify_integrity(os.path.join(GOLDEN_DIR, name + ".dcz"))
     assert out.read_bytes() == data
+
+
+class TestHandmadeFixture:
+    """Reference-direction fixture: ``handmade_tie_v1.dcz`` was assembled BY
+    HAND from the documented container format (tools/make_handmade_golden.py,
+    struct+hashlib only — NOT this repo's encoder), so it pins container-level
+    parity independent of this repo's writer: a bug the writer and reader
+    share cannot hide here."""
+
+    FIXTURE = os.path.join(GOLDEN_DIR, "handmade_tie_v1.dcz")
+    CONTENT = b"ABCDEFGH" * 4  # equal frequencies: every optimal code is 3 bits
+
+    def test_generator_is_deterministic(self):
+        """The checked-in fixture matches its standalone generator."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "make_handmade_golden",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "make_handmade_golden.py"),
+        )
+        gen = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gen)
+        assert gen.build() == open(self.FIXTURE, "rb").read()
+
+    def test_our_decoder_reads_handmade_container(self, tmp_path):
+        cfg = load_config(compression={"chunk_size_mb": 1})
+        out = str(tmp_path / "restored.bin")
+        with CpuCompressionService(cfg) as svc:
+            assert svc.verify_integrity(self.FIXTURE, deep=True)
+            svc.decompress(self.FIXTURE, out)
+        assert open(out, "rb").read() == self.CONTENT
+
+    def test_our_encoder_reproduces_handmade_container(self, tmp_path):
+        src = tmp_path / "handmade_tie.bin"  # header stores the basename
+        src.write_bytes(self.CONTENT)
+        os.utime(src, (FIXED_MTIME, FIXED_MTIME))
+        cfg = load_config(compression={
+            "chunk_size_mb": 1, "format_version": 1, "codebook_mode": "java",
+        })
+        out = str(src) + ".dcz"
+        with CpuCompressionService(cfg) as svc:
+            svc.compress(str(src), out)
+        assert open(out, "rb").read() == open(self.FIXTURE, "rb").read()

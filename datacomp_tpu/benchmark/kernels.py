@@ -313,6 +313,110 @@ def run_kernel_bench(
     return results
 
 
+def run_pipeline_batch_bench(
+    size_mb: int = 16,
+    kind: str = "text",
+    batch_sizes: tuple = (1, 4, 8),
+    subblock: int = 4032,
+    k_points: tuple = (2, 6),
+    repeats: int = 3,
+) -> Dict[str, dict]:
+    """Device-side A/B of the batched chunk pipeline (``device.batch_chunks``).
+
+    For each B, ONE jitted program runs the full fused pipeline (histogram →
+    on-device codebook → encode) vmapped over B distinct ``size_mb`` chunks —
+    the exact executable ``TpuChunkCodec.encode_chunk_batch`` dispatches.
+    Reports, per B:
+
+    * ``compute_ms_per_chunk`` — the hoist-proof slope per chain iteration
+      divided by B: pure on-device cost per chunk.  Shows whether vmapping
+      chunks changes device efficiency at all;
+    * ``overhead_ms_per_program`` — the chain intercept
+      ``t(K1) − K1·slope``: dispatch + sync + program-entry constants per
+      program invocation.  This is what batching amortizes: per-chunk
+      overhead is ``intercept / B`` (the reference's sliding window existed
+      to hide exactly this, ``GpuCompressionService.java:232-320``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import device_codebook, encode_device_merge, histogram_device
+    from ..utils.testdata import generate_bytes
+
+    n = size_mb << 20
+    out_words = (9 * n + 31) // 32 + 2
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        from ..ops import histogram_pallas as hist_fn
+    else:
+        hist_fn = histogram_device
+
+    def one(d, v):
+        h = hist_fn(d, v)
+        lens, cws = device_codebook(h)
+        _, tb, _ = encode_device_merge(d, v, lens, cws, out_words, subblock)
+        return tb
+
+    maxb = max(batch_sizes)
+    blob = np.frombuffer(generate_bytes(kind, n * maxb), dtype=np.uint8)
+    results: Dict[str, dict] = {}
+    for B in batch_sizes:
+        data = blob[: B * n].reshape(B, n)  # B distinct chunks
+        dd = jax.device_put(data, dev)
+        vl = jax.device_put(np.full(B, n, np.int32), dev)
+        vfn = jax.vmap(one)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(x, v, k, vfn=vfn):
+            def body(i, carry):
+                acc, x = carry
+                total = vfn(x, v).sum().astype(jnp.int32)
+                return acc + total, x ^ _unfoldable_dep(total).astype(x.dtype)
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), x))
+            return acc
+
+        times = {}
+        for K in k_points:
+            _ = int(chain(dd, vl, k=K))  # warm: scalar fetch forces completion
+            _ = int(chain(dd, vl, k=K))
+            best = float("inf")
+            for _i in range(repeats):
+                t0 = time.perf_counter()
+                _ = int(chain(dd, vl, k=K))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        k1, k2 = min(k_points), max(k_points)
+        slope = max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
+        intercept = max(times[k1] - k1 * slope, 0.0)
+        results[f"pipeline-b{B}"] = {
+            "batch": B,
+            "compute_ms_per_chunk": round(slope / B * 1e3, 3),
+            "mbps_per_chunk": round(n / 1e6 / (slope / B), 1),
+            "overhead_ms_per_program": round(intercept * 1e3, 3),
+            "overhead_ms_per_chunk": round(intercept / B * 1e3, 3),
+        }
+    return results
+
+
+def format_pipeline_batch_results(results: Dict[str, dict], size_mb: int) -> str:
+    lines = [
+        "",
+        f"Batched fused pipeline ({size_mb} MB chunks, hist→codebook→encode, "
+        "slope-timed)",
+        "=" * 78,
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"  {name:<14} compute {r['compute_ms_per_chunk']:9.3f} ms/chunk "
+            f"({r['mbps_per_chunk']:7.1f} MB/s)  "
+            f"overhead {r['overhead_ms_per_program']:8.3f} ms/program = "
+            f"{r['overhead_ms_per_chunk']:7.3f} ms/chunk"
+        )
+    lines.append("=" * 78)
+    return "\n".join(lines)
+
+
 def format_kernel_results(results: Dict[str, dict], size_mb: int, fmt: str = "console") -> str:
     if fmt == "json":
         import json

@@ -146,6 +146,20 @@ def cmd_resume(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if getattr(args, "batched", False):
+        from .benchmark.kernels import (
+            format_pipeline_batch_results,
+            run_pipeline_batch_bench,
+        )
+
+        results = run_pipeline_batch_bench(size_mb=args.size_mb, kind=args.kind)
+        if args.format_out == "json":
+            import json as _json
+
+            print(_json.dumps({"chunk_mb": args.size_mb, "pipeline": results}, indent=2))
+        else:
+            print(format_pipeline_batch_results(results, args.size_mb))
+        return 0
     if getattr(args, "kernels", False):
         from .benchmark.kernels import format_kernel_results, run_kernel_bench
 
@@ -344,6 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format-out", choices=["console", "json", "csv"], default="console")
     sp.add_argument("--kernels", action="store_true",
                     help="slope-time the device kernels instead of the services")
+    sp.add_argument("--batched", action="store_true",
+                    help="device-side A/B of the batched chunk pipeline "
+                         "(B=1/4/8 chunks per program)")
     sp.add_argument("--kind", default="text",
                     choices=["text", "compressible", "skewed", "random"],
                     help="data kind for --kernels (default text)")

@@ -61,6 +61,12 @@ class DeviceConfig:
     # Chunks in flight concurrently (streams overlap host work + transfer
     # latencies; measured +24% from a second same-direction relay stream).
     parallel_chunks: int = 3
+    # Chunks encoded per device program (vmapped batch): amortizes program
+    # dispatch + per-transfer-call latency, the role of the reference's
+    # sliding-window device scheduler (GpuCompressionService.java:232-320).
+    # 0 = auto (device-measured default per platform); 1 = one chunk per
+    # program.  Device-side A/B: docs/BENCHMARKS.md "batched pipeline".
+    batch_chunks: int = 0
     # Device histogram formulation: "pallas" (packed-8 Mosaic kernel,
     # ops/histogram_pallas.py — measured 25% faster than the matmul
     # formulation on v5e, the default on real devices) or "xla"
@@ -222,4 +228,8 @@ def _validate(cfg: AppConfig) -> None:
     if cfg.device.histogram_backend not in ("xla", "pallas"):
         raise ValueError(
             f"histogram-backend must be xla|pallas, got {cfg.device.histogram_backend!r}"
+        )
+    if not 0 <= cfg.device.batch_chunks <= 16:
+        raise ValueError(
+            f"batch-chunks must be 0 (auto) or 1..16, got {cfg.device.batch_chunks}"
         )

@@ -45,9 +45,23 @@ class EncodedChunk:
 class ChunkCodec(abc.ABC):
     """Per-chunk compute backend."""
 
+    #: chunks encoded per :meth:`encode_chunk_batch` call.  Device codecs
+    #: raise this to vmap several chunks into ONE device program, amortizing
+    #: per-program dispatch + transfer-call overhead (the role of the
+    #: reference's sliding-window device scheduler,
+    #: ``gpu/GpuCompressionService.java:232-320``); the pipeline groups its
+    #: jobs accordingly.
+    batch_chunks: int = 1
+
     @abc.abstractmethod
     def encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
         ...
+
+    def encode_chunk_batch(
+        self, datas: List[np.ndarray], metrics: StageMetrics
+    ) -> List[EncodedChunk]:
+        """Encode several chunks; default = per-chunk loop (host codecs)."""
+        return [self.encode_chunk(d, metrics) for d in datas]
 
     @abc.abstractmethod
     def decode_chunk(
@@ -218,7 +232,7 @@ class ChunkedPipeline:
                     for c in done:
                         _append_partial_chunk(partial_fp, c)
 
-                def job(index: int):
+                def read_chunk(index: int):
                     offset = index * chunk_size
                     n = min(chunk_size, file_size - offset)
                     with metrics.timed(Stage.FILE_IO, n):
@@ -236,35 +250,49 @@ class ChunkedPipeline:
                             with read_lock:
                                 infile.seek(offset)
                                 data = np.frombuffer(infile.read(n), dtype=np.uint8)
-                    enc = self.codec.encode_chunk(data, metrics)
-                    return index, offset, n, enc
+                    return index, offset, n, data
 
-                # bounded sliding window: submit up to `window` jobs, then
+                def job(indices: List[int]):
+                    reads = [read_chunk(i) for i in indices]
+                    encs = self.codec.encode_chunk_batch(
+                        [r[3] for r in reads], metrics
+                    )
+                    return [
+                        (i, o, n, e) for (i, o, n, _), e in zip(reads, encs)
+                    ]
+
+                # group chunk indices into codec-sized batches, then run a
+                # bounded sliding window of batch jobs: submit up to `window`,
                 # one-in-one-out as the ordered writer drains the head
                 from collections import deque
                 from itertools import islice
 
-                todo = iter(range(resume_from, num_chunks))
+                bs = max(1, getattr(self.codec, "batch_chunks", 1))
+                idx_it = iter(range(resume_from, num_chunks))
+                todo = iter(
+                    lambda: list(islice(idx_it, bs)), []
+                )  # consecutive index groups of size <= bs
                 inflight = deque(
-                    self._executor.submit(job, i) for i in islice(todo, self.window)
+                    self._executor.submit(job, g) for g in islice(todo, self.window)
                 )
                 while inflight:
-                    index, offset, n, enc = inflight.popleft().result()
+                    results = inflight.popleft().result()
                     nxt = next(todo, None)
                     if nxt is not None:
                         inflight.append(self._executor.submit(job, nxt))
-                    with metrics.timed(Stage.FILE_IO, len(enc.payload)):
-                        out.write(enc.payload)
-                    meta = ct.ChunkMeta(
-                        index, offset, n, compressed_offset, len(enc.payload),
-                        enc.sha256, enc.code_lengths, enc.gap_bits,
-                    )
-                    compressed_offset += len(enc.payload)
-                    enc = None  # payloads may be zero-copy views over `mm`
-                    done.append(meta)
-                    _append_partial_chunk(partial_fp, meta)
-                    if progress is not None:
-                        progress(len(done) / max(num_chunks, 1))
+                    for index, offset, n, enc in results:
+                        with metrics.timed(Stage.FILE_IO, len(enc.payload)):
+                            out.write(enc.payload)
+                        meta = ct.ChunkMeta(
+                            index, offset, n, compressed_offset, len(enc.payload),
+                            enc.sha256, enc.code_lengths, enc.gap_bits,
+                        )
+                        compressed_offset += len(enc.payload)
+                        done.append(meta)
+                        _append_partial_chunk(partial_fp, meta)
+                        if progress is not None:
+                            progress(len(done) / max(num_chunks, 1))
+                    results = None  # payloads may be zero-copy views over `mm`
 
                 # global checksum = sha256 over per-chunk digests in order
                 # (reference parity: CpuCompressionService.java:101-126)

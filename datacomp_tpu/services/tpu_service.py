@@ -162,6 +162,28 @@ class TpuChunkCodec(ChunkCodec):
         self._encode_warm = False
         self._decode_warm = False
         self._fused = None  # device-codebook fused pipeline (built lazily)
+        self._batched = {}  # (Bs, with_gaps, host_tables, slots) -> jitted vmap
+        self._batch_warm = set()  # batched-executable keys already run once
+
+    @property
+    def batch_chunks(self) -> int:
+        """Chunks per device program (the pipeline groups jobs by this).
+
+        ``device.batch_chunks = 0`` (auto) resolves per platform: 4 on real
+        devices — one program dispatch + one H2D call per 4 chunks, the
+        TPU re-expression of the reference's sliding-window device scheduler
+        (``GpuCompressionService.java:232-320``; device-side A/B in
+        docs/BENCHMARKS.md) — and 1 on CPU platforms, where the XLA:CPU
+        program would serialize chunks the worker threads already
+        parallelize."""
+        b = self.config.device.batch_chunks
+        if b != 0:
+            return b
+        try:
+            platform = self.freq._ensure_device().platform
+        except Exception:  # noqa: BLE001 — no device: fallback paths handle it
+            return 1
+        return 1 if platform == "cpu" else 4
 
     def _histogram_fn(self):
         """Backend-selected device histogram: the Pallas packed-8 kernel
@@ -209,27 +231,31 @@ class TpuChunkCodec(ChunkCodec):
                     return out
         return self._encode_chunk(data, metrics)
 
-    def _encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
-        jax = _get_jax()
-        import jax.numpy as jnp
+    def _host_prepass(self, data: np.ndarray, metrics: StageMetrics):
+        """Per-chunk host-side stage shared by the single and batched encode
+        paths: SHA-256, host histogram, host codebook (non-device modes) and
+        the raw-store decision.
 
+        Host histogram first (native pass, ~2 GB/s): through a ~56 MB/s
+        half-duplex relay, uploading an incompressible chunk just to learn
+        it is incompressible wastes a full chunk-time — the raw-store
+        decision (and, for host codebook modes, the codebook itself) comes
+        from the host histogram, and only compressible chunks ever touch
+        the device.  On directly-attached chips this pre-pass is still
+        ~7 ms against a 16 MB upload.
+
+        Returns ``(sha, lengths, codes, finished)``; ``finished`` is a
+        completed :class:`EncodedChunk` (empty input or raw store) that
+        skips the device entirely, else ``None``.
+        """
         n = data.size
         with metrics.timed(Stage.CHECKSUM_COMPUTE, n):
             sha = compute_sha256(data)  # hashlib takes the buffer, no copy
         if n == 0:
-            lengths = np.zeros(256, np.int32)
-            return EncodedChunk(b"", lengths, sha, None)
+            return sha, None, None, EncodedChunk(b"", np.zeros(256, np.int32), sha, None)
 
         mode = self.config.compression.codebook_mode
         v2 = self.config.compression.format_version >= 2
-
-        # Host histogram first (native pass, ~2 GB/s): through a ~56 MB/s
-        # half-duplex relay, uploading an incompressible chunk just to learn
-        # it is incompressible wastes a full chunk-time — the raw-store
-        # decision (and, for host codebook modes, the codebook itself) comes
-        # from the host histogram, and only compressible chunks ever touch
-        # the device.  On directly-attached chips this pre-pass is still
-        # ~7 ms against a 16 MB upload.
         hist = None
         lengths = codes = None
         if v2 or mode != "device":
@@ -253,7 +279,23 @@ class TpuChunkCodec(ChunkCodec):
             if opt_bits >= n * 8:
                 # incompressible: store raw (v2 marker: all-zero lengths)
                 # without a single relay byte
-                return EncodedChunk(data.tobytes(), np.zeros(256, np.int32), sha, None)
+                finished = EncodedChunk(
+                    data.tobytes(), np.zeros(256, np.int32), sha, None
+                )
+                return sha, lengths, codes, finished
+        return sha, lengths, codes, None
+
+    def _encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
+        jax = _get_jax()
+        import jax.numpy as jnp
+
+        n = data.size
+        mode = self.config.compression.codebook_mode
+        v2 = self.config.compression.format_version >= 2
+
+        sha, lengths, codes, finished = self._host_prepass(data, metrics)
+        if finished is not None:
+            return finished
 
         dev = self.freq._ensure_device()
         padded = np.zeros(self.padded_size, dtype=np.uint8)
@@ -337,6 +379,156 @@ class TpuChunkCodec(ChunkCodec):
             nw = (tb + 31) // 32
             payload = words_to_bytes(np.asarray(words[:nw]), tb)
         return EncodedChunk(payload, lengths.astype(np.int32), sha, gap_bits)
+
+    # -- batched encode -------------------------------------------------------
+
+    def _batched_pipeline(self, Bs: int, with_gaps: bool, host_tables: bool,
+                          slots: int):
+        """ONE jitted program encoding ``Bs`` chunks (vmapped single-chunk
+        pipeline, the same shape ``parallel/sharded._chunk_pipeline`` runs
+        per mesh device).  Amortizes program dispatch and transfer-call
+        latency over the batch — the TPU re-expression of the reference's
+        sliding-window device scheduler
+        (``gpu/GpuCompressionService.java:232-320``)."""
+        key = (Bs, with_gaps, host_tables, slots)
+        fn = self._batched.get(key)
+        if fn is None:
+            jax = _get_jax()
+            sub = self.subblock if with_gaps else 0
+            if host_tables:
+                def one(d, v, lens, cws):
+                    return encode_device_merge(
+                        d, v, lens, cws, self.out_words, sub, max_slots=slots
+                    )
+                fn = jax.jit(jax.vmap(one))
+            else:
+                hist_fn = self._histogram_fn()
+
+                def one(d, v):
+                    h = hist_fn(d, v)
+                    lens, cws = device_codebook(h)
+                    out = encode_device_merge(
+                        d, v, lens, cws, self.out_words, sub, max_slots=slots
+                    )
+                    return (lens,) + tuple(out)
+                fn = jax.jit(jax.vmap(one))
+            self._batched[key] = fn
+        return fn
+
+    def encode_chunk_batch(self, datas, metrics: StageMetrics):
+        Bs = self.batch_chunks
+        if len(datas) == 1 or Bs <= 1:
+            return [self.encode_chunk(d, metrics) for d in datas]
+        mode = self.config.compression.codebook_mode
+        v2 = self.config.compression.format_version >= 2
+        results: list = [None] * len(datas)
+        slots_dev = []  # (result index, data, n, sha, lengths, codes)
+        for i, data in enumerate(datas):
+            sha, lengths, codes, finished = self._host_prepass(data, metrics)
+            if finished is not None:
+                results[i] = finished
+            else:
+                slots_dev.append((i, data, data.size, sha, lengths, codes))
+        if not slots_dev:
+            return results
+        assert len(slots_dev) <= Bs, "pipeline grouped more chunks than batch_chunks"
+
+        dev = self.freq._ensure_device()
+        # static batch shape: pad unused slots with valid_len=0 chunks so one
+        # executable serves every group (incl. raw-store-thinned and tail
+        # groups) — a zero slot encodes to 0 bits, wasting only its compute
+        batch = np.zeros((Bs, self.padded_size), dtype=np.uint8)
+        valid = np.zeros(Bs, dtype=np.int32)
+        for j, (_, data, n, _, _, _) in enumerate(slots_dev):
+            batch[j, :n] = data
+            valid[j] = n
+        host_tables = mode != "device"
+        if host_tables:
+            lens_h = np.zeros((Bs, 256), dtype=np.int32)
+            codes_h = np.zeros((Bs, 256), dtype=np.uint32)
+            for j, (_, _, _, _, lengths, codes) in enumerate(slots_dev):
+                lens_h[j] = lengths
+                codes_h[j] = codes.astype(np.uint32)
+            ml = int(lens_h.max()) if lens_h.any() else 1
+            slots = next(b for b in (10, 18, 33) if b >= ml + 2)
+        else:
+            slots = 33
+        fn = self._batched_pipeline(Bs, v2, host_tables, slots)
+
+        key = (Bs, v2, host_tables, slots)
+        args = (fn, batch, valid, lens_h if host_tables else None,
+                codes_h if host_tables else None, host_tables,
+                v2, slots_dev, results, metrics, dev)
+        if key not in self._batch_warm:
+            # serialize each executable's first run (program-load handshake
+            # degrades badly under concurrency on remote-attached devices)
+            with self._warm_lock:
+                out = self._run_batch(*args)
+                self._batch_warm.add(key)
+                return out
+        return self._run_batch(*args)
+
+    def _run_batch(self, fn, batch, valid, lens_h, codes_h, host_tables, v2,
+                   slots_dev, results, metrics, dev):
+        jax = _get_jax()
+
+        total_n = int(valid.sum())
+        with metrics.timed(Stage.ENCODING, total_n):
+            # one device_put call for the whole group (the relay charges a
+            # full latency per transfer call, not per byte)
+            if host_tables:
+                x, vl, ld, cd = jax.device_put(
+                    (batch, valid, lens_h, codes_h), dev
+                )
+                out = fn(x, vl, ld, cd)
+                if v2:
+                    words, total_bits, gaps = out
+                else:
+                    words, total_bits = out
+                    gaps = None
+                lens_dev = None
+            else:
+                x, vl = jax.device_put((batch, valid), dev)
+                out = fn(x, vl)
+                if v2:
+                    lens_dev, words, total_bits, gaps = out
+                else:
+                    lens_dev, words, total_bits = out
+                    gaps = None
+            # ONE small round trip for every chunk's control metadata
+            fetch = [total_bits]
+            if lens_dev is not None:
+                fetch.append(lens_dev)
+            if gaps is not None:
+                fetch.append(gaps)
+            fetched = jax.device_get(tuple(fetch))
+            tbs = np.asarray(fetched[0])
+            lens_all = (
+                np.asarray(fetched[1]) if lens_dev is not None else lens_h
+            )
+            gaps_all = np.asarray(fetched[-1]) if gaps is not None else None
+
+            for j, (i, data, n, sha, _, _) in enumerate(slots_dev):
+                tb = int(tbs[j])
+                if v2 and tb >= n * 8:
+                    # safety net (normally decided host-side pre-upload)
+                    results[i] = EncodedChunk(
+                        data.tobytes(), np.zeros(256, np.int32), sha, None
+                    )
+                    continue
+                if tb > self.out_words * 32:
+                    raise RuntimeError("encoded stream exceeded device word capacity")
+                nw = (tb + 31) // 32
+                # D2H only this chunk's live prefix
+                payload = words_to_bytes(np.asarray(words[j, :nw]), tb)
+                gap_bits = None
+                if gaps_all is not None:
+                    nsub = (n + self.subblock - 1) // self.subblock
+                    gap_bits = gaps_all[j, :nsub].astype(np.uint32)
+                results[i] = EncodedChunk(
+                    payload, lens_all[j].astype(np.int32), sha, gap_bits
+                )
+        return results
 
     # -- decode -------------------------------------------------------------
 

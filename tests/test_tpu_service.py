@@ -195,3 +195,65 @@ class TestFactory:
     def test_frequency_factory(self):
         svc = create_frequency_service(cfg(), force_cpu=True)
         assert svc.get_service_name().startswith("CPU")
+
+
+class TestBatchedPipeline:
+    """batch_chunks > 1: several chunks encode in ONE vmapped device program
+    (the reference's sliding-window device scheduler re-expressed,
+    GpuCompressionService.java:232-320).  Containers must be byte-identical
+    to the per-chunk path in every mode, including tail groups smaller than
+    the batch (padded to the same static executable)."""
+
+    @pytest.mark.parametrize("version,mode", [(1, "java"), (2, "device")])
+    def test_matches_per_chunk_output(self, tmp_path, version, mode):
+        data = generate_bytes("text", 5 * 1024 * 1024 + 321)  # 6 chunks: 4 + 2
+        src = tmp_path / "b.bin"
+        src.write_bytes(data)
+        os.utime(src, (1_700_000_000, 1_700_000_000))
+        outs = {}
+        for bc in (1, 4):
+            c = load_config(
+                compression={
+                    "chunk_size_mb": 1, "format_version": version,
+                    "codebook_mode": mode,
+                },
+                device={"batch_chunks": bc},
+            )
+            dcz = str(src) + f".b{bc}.dcz"
+            with TpuCompressionService(c) as svc:
+                assert svc._codec.batch_chunks == bc
+                svc.compress(str(src), dcz)
+                svc.decompress(dcz, dcz + ".out")
+            assert open(dcz + ".out", "rb").read() == data
+            outs[bc] = open(dcz, "rb").read()
+        assert outs[1] == outs[4]
+
+    def test_mixed_raw_store_group(self, tmp_path):
+        """Incompressible chunks are raw-stored host-side; the device batch
+        runs thinned + padded, and the container still round-trips."""
+        data = (
+            generate_bytes("text", 1024 * 1024)
+            + generate_bytes("random", 2 * 1024 * 1024)  # raw-store x2
+            + generate_bytes("skewed", 1024 * 1024 + 55)
+        )
+        src = tmp_path / "m.bin"
+        src.write_bytes(data)
+        c = load_config(
+            compression={"chunk_size_mb": 1, "format_version": 2},
+            device={"batch_chunks": 4},
+        )
+        dcz = str(src) + ".dcz"
+        with TpuCompressionService(c) as svc:
+            svc.compress(str(src), dcz)
+            h, _ = read_container(dcz)
+            raw = [not m.code_lengths.any() for m in h.chunks]
+            assert raw[1] and raw[2]  # the random chunks stored raw
+            assert not raw[0] and not raw[-1]
+            svc.decompress(dcz, str(src) + ".out")
+        assert open(str(src) + ".out", "rb").read() == data
+
+    def test_auto_batch_is_1_on_cpu_platform(self):
+        c = load_config(compression={"chunk_size_mb": 1})
+        svc = TpuCompressionService(c)
+        assert svc._codec.batch_chunks == 1  # auto: CPU platform
+        svc.close()

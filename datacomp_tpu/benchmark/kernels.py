@@ -42,7 +42,10 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     * ``gather_ns`` — per-element cost of a data-dependent vector gather
       (the decode kernel's only remaining gather is its word refill);
     * ``mac_per_s`` — sustained f32-accumulate MAC rate of a large matmul
-      (the one-hot-einsum lookups in histogram/encode ride this).
+      (the one-hot-einsum lookups in histogram/encode ride this);
+    * ``vpu_elem_per_s`` — sustained elementwise int32 op rate (shifts,
+      compares, selects: the one-hot builds and the decoder's window
+      shift chain ride this).
     """
     import jax
     import jax.numpy as jnp
@@ -60,6 +63,14 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 
     def gather_row8_once(ix):
         return table8[ix].sum(dtype=jnp.int32)
+
+    _VPU_OPS = 24  # elementwise int32 ops per vpu_once call (8 rounds x 3)
+
+    def vpu_once(x):
+        r = x
+        for _ in range(8):
+            r = (r >> 1) ^ (r + 1)  # 3 dependent elementwise ops per round
+        return r[0]
 
     # bf16 operands: the kernels' one-hot contractions run at the bf16 MXU
     # rate.  0/1-safe dependency: perturb one element, read one element.
@@ -108,12 +119,19 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     m_s = slope(matmul_once, a,
                 lambda x, t: x.at[0, 0].add(_unfoldable_dep(t).astype(x.dtype)),
                 mk_lo, mk_hi)
+    # ~20 µs/iteration on TPU: the chain needs hundreds of iterations for
+    # the slope to clear relay jitter (~1-2 ms); CPU is ~50 ms/iteration
+    vk_lo, vk_hi = (2, 6) if on_cpu else (2, 514)
+    v_s = slope(vpu_once, table,
+                lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype),
+                vk_lo, vk_hi)
     return {
         "gather_ns": g_s / n * 1e9,
         # per-INDEX cost of an 8-word row gather (the decode refill's shape;
         # near the 1-word per-index cost — the basis of refill_words=8)
         "gather_row8_ns": g8_s / (n >> 3) * 1e9,
         "mac_per_s": (m * m * m) / m_s,
+        "vpu_elem_per_s": (n * _VPU_OPS) / v_s,
     }
 
 
@@ -122,19 +140,40 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 #: utilization of the kernel's contractions: 16-wide one-hot shapes light up
 #: 16/128 of each MXU dimension, so the array spins 64 cycles per useful
 #: 16x16 tile — the bound must charge the full spin.
+#: Each kernel's floor is ``max(mxu term, vpu term, gather term)`` — three
+#: units that can in principle overlap, so the max is a true lower bound.
+#: ``vpu_ops_per_byte`` counts the elementwise int32/bf16 vector ops the
+#: formulation performs per input byte (the one-hot BUILDS and window
+#: shifts that round 2's MAC-only bounds omitted — the "bound we admit is
+#: wrong" fixed in round 3).  Derivations:
+#:
+#: * histogram (XLA): hi/lo split (2) + 2 compares + 2 converts on (n,16)
+#:   planes = 2 + 4*16 = 66 ops/byte;
+#: * histogram-pallas: per 16-byte-slot group, ~7 full-width (ROWS,128) ops
+#:   (widen, repeat, 2 shifts/masks, 2 compares, 2 converts) per 8*ROWS
+#:   bytes = ~112 ops/byte;
+#: * encode: one-hot build 66 + 5 merge levels * ~8 ops/word (1 word/byte
+#:   of buffer per level) + ownership scatter ~8 = ~114 ops/byte (estimate);
+#: * decode: filled at bench time — per symbol ~(4*cmp_len + 3*V + 8) ops
+#:   (compare pass + 17-register shift chain) with V = 2*refill_words + 1.
 _KERNEL_COSTS = {
     # one (n,16)^T @ (n,16) contraction → 256 MACs/byte on the MXU
-    "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
+    "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0,
+                  "mxu_util": 1 / 64, "vpu_ops_per_byte": 66.0},
     # packed-8 pallas kernel: same 256 useful MACs/byte but full (128,128)
-    # output tiles → 8x the effective MXU rate (in practice VPU-bound on the
-    # one-hot build; see ops/histogram_pallas.py)
-    "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 8},
+    # output tiles → 8x the effective MXU rate; the VPU one-hot build is
+    # what actually binds (see ops/histogram_pallas.py)
+    "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0,
+                         "mxu_util": 1 / 8, "vpu_ops_per_byte": 112.0},
     # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each
-    "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0, "mxu_util": 1 / 64},
-    # 1 row-refill gather (8 words) per syms_per_step symbols + a 16x16
-    # one-hot symbol einsum per symbol (filled in at bench time: the
-    # symbols-per-step rate depends on the data's codebook depth)
-    "decode": {"macs_per_byte": 272.0, "gathers_per_byte": None, "mxu_util": 1 / 64},
+    "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0,
+               "mxu_util": 1 / 64, "vpu_ops_per_byte": 114.0},
+    # 1 row-refill gather (8 words) per syms_per_step symbols + ONE hoisted
+    # 16x16 one-hot symbol einsum per symbol; gathers and the per-symbol
+    # VPU count are filled in at bench time (they depend on the data's
+    # codebook depth)
+    "decode": {"macs_per_byte": 272.0, "gathers_per_byte": None,
+               "mxu_util": 1 / 64, "vpu_ops_per_byte": None},
 }
 
 
@@ -291,24 +330,31 @@ def run_kernel_bench(
                 continue
             gathers = cost["gathers_per_byte"]
             gather_ns = prim["gather_ns"]
+            vpu_ops = cost["vpu_ops_per_byte"]
             if gathers is None:  # decode: 1 row-refill gather per k symbols
                 gathers = 1.0 / sps
                 gather_ns = prim.get("gather_row8_ns", gather_ns)
+            if vpu_ops is None:  # decode: compare pass + V-register shifts
+                V = 2 * DEFAULT_REFILL_WORDS + 1
+                vpu_ops = 4.0 * cmp_len_bucket(maxlen) + 3.0 * V + 8.0
             mac_floor_s = cost["macs_per_byte"] / (
                 prim["mac_per_s"] * cost.get("mxu_util", 1.0)
             )  # s/byte
             gather_floor_s = gathers * gather_ns * 1e-9
-            floor_s = max(mac_floor_s, gather_floor_s)
+            vpu_floor_s = vpu_ops / prim["vpu_elem_per_s"]
+            floor_s = max(mac_floor_s, gather_floor_s, vpu_floor_s)
             bound = 1.0 / floor_s / 1e6  # MB/s
             r["bound_mbps"] = round(bound, 1)
             r["efficiency"] = round(r["mbps"] / bound, 3)
-            r["bound_kind"] = (
-                "gather" if gather_floor_s >= mac_floor_s else "mxu-mac"
-            )
+            r["bound_kind"] = {
+                mac_floor_s: "mxu-mac", gather_floor_s: "gather",
+                vpu_floor_s: "vpu-elem",
+            }[floor_s]
         results["_primitives"] = {
             "gather_ns": round(prim["gather_ns"], 3),
             "gather_row8_ns": round(prim.get("gather_row8_ns", 0.0), 3),
             "mac_per_s": round(prim["mac_per_s"], 1),
+            "vpu_elem_per_s": round(prim["vpu_elem_per_s"], 1),
         }
     return results
 
@@ -436,7 +482,8 @@ def format_kernel_results(results: Dict[str, dict], size_mb: int, fmt: str = "co
     if prim:
         lines.append(
             f"  primitives: gather {prim['gather_ns']:.2f} ns/elem, "
-            f"matmul {prim['mac_per_s'] / 1e12:.2f} TMAC/s"
+            f"matmul {prim['mac_per_s'] / 1e12:.2f} TMAC/s, "
+            f"vpu {prim.get('vpu_elem_per_s', 0) / 1e9:.1f} Gelem-op/s"
         )
     lines.append("=" * 78)
     return "\n".join(lines)

@@ -165,7 +165,9 @@ _KERNEL_COSTS = {
     # what actually binds (see ops/histogram_pallas.py)
     "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0,
                          "mxu_util": 1 / 8, "vpu_ops_per_byte": 112.0},
-    # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each
+    # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each.
+    # (A 2-3-plane packed variant has fewer MACs but measured 1.8x slower
+    # on v5e — the bound charges the formulation actually shipped.)
     "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0,
                "mxu_util": 1 / 64, "vpu_ops_per_byte": 114.0},
     # 1 row-refill gather (8 words) per syms_per_step symbols + ONE hoisted
@@ -251,6 +253,8 @@ def run_kernel_bench(
         return lens_d[1] + codes_d[1].astype(jnp.int32)
 
     def encode_once(x):
+        # code_bits plane packing deliberately NOT used: measured 1.8x
+        # slower on v5e despite 40% fewer MACs (docs/BENCHMARKS.md r3)
         w, tb, g = encode_device_merge(
             x, jnp.int32(n), ld, cd, out_words,
             subblock=subblock, max_slots=min(33, maxlen + 2),

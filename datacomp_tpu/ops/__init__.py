@@ -24,7 +24,7 @@ from .histogram import histogram_device, histogram_np
 from .histogram_pallas import histogram_pallas, pallas_available
 # NOTE: ops/encode_scan_oracle.py is a differential test oracle, deliberately
 # NOT exported — encode_device_merge is the one production encoder.
-from .encode_merge import encode_device_merge, words_to_bytes
+from .encode_merge import code_bits_bucket, encode_device_merge, words_to_bytes
 from .decode import (
     DEFAULT_REFILL_WORDS,
     TABLE_BITS,
@@ -42,6 +42,7 @@ __all__ = [
     "histogram_np",
     "histogram_pallas",
     "pallas_available",
+    "code_bits_bucket",
     "encode_device_merge",
     "words_to_bytes",
     "DEFAULT_REFILL_WORDS",

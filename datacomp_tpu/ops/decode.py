@@ -44,6 +44,20 @@ TABLE_BITS = 16
 #: rows vs ~11 ns for 4/8-word rows), so 8-word rows amortize the decoder's
 #: only gather ~8x.  Measured 16 MB decode: 41.5 -> 11.0 ms (10-bit codes),
 #: 31.7 -> 7.6 ms = 2.2 GB/s (8-bit auto-capped codes).
+#:
+#: Round-3 A/B closed the remaining questions (docs/BENCHMARKS.md):
+#: * W=16 (k saturates at 32 for every <=16-bit codebook) measured SLOWER —
+#:   14.2 vs 11.1 ms on 10-bit text: 16-word (64 B) rows are no longer
+#:   per-index-flat and the 33-register shift chain surfaces on the VPU.
+#:   W=16 stays supported for re-measurement on other parts, not default.
+#: * Hoisting the per-step 16x16 symbol einsum out of the scan into one big
+#:   post-scan lookup measured SLOWER (13.6-14.0 vs 11.0 ms): the big
+#:   (N,16) one-hot operands materialize ~1 GB through HBM, while the tiny
+#:   in-scan einsums are fused and hidden under the gather/VPU work.
+#: * At W=8 decode runs at 82-96% of the measured row-gather floor
+#:   (refills/symbol x gather_row8_ns), so the gather IS the kernel; a
+#:   Mosaic/Pallas decode step cannot express it at all (no vector-gather
+#:   primitive on the TPU VPU) — the named blocker for a Pallas decode.
 DEFAULT_REFILL_WORDS = 8
 
 
@@ -155,7 +169,7 @@ def decode_device(
     k = syms_per_step
     W = refill_words
     assert subblock % k == 0, "symbols-per-step must divide the sub-block"
-    assert W in (1, 2, 4, 8), "refill-words must be 1, 2, 4 or 8"
+    assert W in (1, 2, 4, 8, 16), "refill-words must be 1, 2, 4, 8 or 16"
     # the real budget, k * max_len <= 32 * W, cannot be checked here (max_len
     # is not an argument) — it is enforced host-side by syms_per_refill /
     # check_decompress_step_params before dispatch

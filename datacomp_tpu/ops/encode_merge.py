@@ -63,10 +63,37 @@ def _mm_lookup(x: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(outs, axis=1)
 
 
-def lookup_symbol_tables(x: jnp.ndarray, lengths: jnp.ndarray, codes: jnp.ndarray):
-    """Per-symbol (len int32[N], codeword uint32[N]) without gathers: the
-    uint32 codeword is split into four 8-bit planes, each f32-exact."""
+def lookup_symbol_tables(
+    x: jnp.ndarray, lengths: jnp.ndarray, codes: jnp.ndarray, code_bits: int = 0
+):
+    """Per-symbol (len int32[N], codeword uint32[N]) without gathers.
+
+    ``code_bits`` (static): 0 — the production setting — splits the uint32
+    codeword into four 8-bit planes plus a length plane (5 one-hot einsums,
+    any codebook).  ``code_bits = 8``/``16`` packs ``len << code_bits | code``
+    into one value spanning 2/3 planes (each 8-bit slice < 256 stays
+    bf16/f32-exact).  **Measured NEGATIVE on v5e** (round-3 A/B, same
+    window: 5-plane 2.59 ms vs 3-plane 4.63 ms per 16 MB): XLA lowers the
+    five einsums sharing one (ohh, ohl) pair better than it lowers three,
+    so fewer algebraic MACs bought a 1.8x slower kernel.  Kept (with its
+    bit-exactness test) so other parts/toolchains can re-measure; every
+    production call site passes 0.  Full study: docs/BENCHMARKS.md.
+    """
     codes = codes.astype(jnp.uint32)
+    if code_bits:
+        # packed = len << code_bits | code; len <= 16 and code < 2^code_bits
+        # keep every 8-bit plane slice exact
+        n_planes = (5 + code_bits + 7) // 8  # len needs <= 5 bits on top
+        packed = (lengths.astype(jnp.uint32) << code_bits) | codes
+        planes = jnp.stack(
+            [((packed >> (8 * p)) & 0xFF).astype(jnp.float32)
+             for p in range(n_planes)]
+        )
+        out = _mm_lookup(x, planes)  # (N, n_planes)
+        v = out[:, 0].astype(jnp.uint32)
+        for p in range(1, n_planes):
+            v = v | (out[:, p].astype(jnp.uint32) << (8 * p))
+        return (v >> code_bits).astype(jnp.int32), v & ((1 << code_bits) - 1)
     planes = jnp.stack(
         [
             lengths.astype(jnp.float32),
@@ -138,7 +165,22 @@ def _exclusive_cumsum_2level(x: jnp.ndarray, row: int = 128):
     return (intra + carry[:, None]).reshape(n + pad)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("out_words", "subblock", "max_slots"))
+def code_bits_bucket(max_len: int) -> int:
+    """Static plane-packing width for :func:`encode_device_merge`'s lookup:
+    8 (2 one-hot planes) for codebooks ≤ 8 bits, 16 (3 planes) for ≤ 16,
+    0 (the 5-plane any-codebook split) otherwise.  NOTE: packing measured
+    1.8x SLOWER on v5e (see :func:`lookup_symbol_tables`); production
+    passes 0 — this helper exists for re-measurement on other parts."""
+    if max_len <= 8:
+        return 8
+    if max_len <= 16:
+        return 16
+    return 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_words", "subblock", "max_slots", "code_bits")
+)
 def encode_device_merge(
     data: jnp.ndarray,       # uint8[N], N % 32 == 0 (padded chunk)
     valid_len: jnp.ndarray,  # int32 scalar
@@ -147,6 +189,7 @@ def encode_device_merge(
     out_words: int,
     subblock: int = 0,       # if >0 (multiple of 32): also return gap bits
     max_slots: int = GROUP + 1,  # owned words per group ≤ max_code_len + 2
+    code_bits: int = 0,      # static: code_bits_bucket(maxlen) for host tables
 ):
     """Returns (words uint32[out_words], total_bits int32[, gaps]).
 
@@ -154,6 +197,8 @@ def encode_device_merge(
     spans at most ``32·maxlen`` bits ⇒ ≤ ``maxlen + 1`` owned words (+1 for
     alignment).  Callers that build the codebook host-side pass
     ``min(33, maxlen + 2)`` to skip provably-empty scatter slots.
+    ``code_bits`` stays 0 in production (plane packing measured slower on
+    v5e — see :func:`lookup_symbol_tables`).
     """
     n = data.shape[0]
     assert n % GROUP == 0, "padded chunk size must be a multiple of 32"
@@ -161,7 +206,7 @@ def encode_device_merge(
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < valid_len
     x = jnp.where(valid, data.astype(jnp.int32), 0)
-    lens, cws = lookup_symbol_tables(x, lengths, codes)
+    lens, cws = lookup_symbol_tables(x, lengths, codes, code_bits)
     lens = jnp.where(valid, lens, 0)
     cws = jnp.where(valid, cws, jnp.uint32(0))
 

@@ -341,7 +341,9 @@ class TpuChunkCodec(ChunkCodec):
             codes_dev = jax.device_put(codes, dev)
 
         # bucketed static scatter-slot bound (maxlen+2), avoiding a recompile
-        # per distinct per-chunk max code length
+        # per distinct per-chunk max code length.  (code_bits plane packing
+        # deliberately NOT used: measured 1.8x SLOWER on v5e despite 40%
+        # fewer MACs — see encode_merge.lookup_symbol_tables / BENCHMARKS.md)
         if mode == "device":
             slots = 33
         else:

@@ -289,6 +289,32 @@ class TestEncodeMerge:
         assert np.array_equal(np.asarray(l_dev), lens[data])
         assert np.array_equal(np.asarray(c_dev), codes[data])
 
+    @pytest.mark.parametrize("kind,code_bits", [
+        ("compressible", 8), ("text", 16), ("skewed", 16),
+    ])
+    def test_plane_packed_lookup_bit_exact(self, kind, code_bits):
+        """code_bits packs (len, code) into 2-3 one-hot planes (the encode
+        MAC-cost lever); output must stay bit-identical to the host stream."""
+        from datacomp_tpu.ops import code_bits_bucket, encode_device_merge
+
+        data = np.frombuffer(generate_bytes(kind, 20_000), np.uint8)
+        N = 20_480
+        padded = np.zeros(N, np.uint8)
+        padded[: data.size] = data
+        mode = "fast" if code_bits == 8 else "java"
+        lens, codes = build_codebook(
+            np.bincount(data, minlength=256).astype(np.int64), mode=mode,
+            max_len=8 if code_bits == 8 else 0,
+        )
+        assert code_bits_bucket(int(lens.max())) == code_bits
+        words, tb = encode_device_merge(
+            jnp.asarray(padded), jnp.int32(data.size), jnp.asarray(lens),
+            jnp.asarray(codes), N, code_bits=code_bits,
+        )
+        assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(
+            data, lens, codes
+        )
+
     def test_empty(self):
         from datacomp_tpu.ops import encode_device_merge
 

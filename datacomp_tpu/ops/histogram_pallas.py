@@ -23,30 +23,50 @@ Kernel shape:
 * per block, a static loop over the 16 8-byte groups: widen the group to
   int32 (v5e's VPU has no i8 vector compare/shift — measured, see
   docs/BENCHMARKS.md), one ``pltpu.repeat`` to 128 lanes, nibble compares
-  build the bf16 one-hots (0/1 is exact in bf16), and
-  ``one_hot_hi^T @ one_hot_lo`` accumulates into an f32 (128, 128)
-  accumulator that lives in VMEM for the whole grid (every grid step maps
-  to the same output block; TPU grids execute sequentially so the
-  accumulation is race-free by construction — the property the reference's
-  tiled kernel gets from one-sub-histogram-per-tile);
+  build **f32** one-hots, and the 16 groups' one-hots are stacked along the
+  contraction axis into ONE ``(16·ROWS, 128)^T @ (16·ROWS, 128)`` dot per
+  block (round 3; algebraically the sum of the 16 per-group outer blocks)
+  accumulating into an f32 (128, 128) accumulator that lives in VMEM for
+  the whole grid (every grid step maps to the same output block; TPU grids
+  execute sequentially so the accumulation is race-free by construction —
+  the property the reference's tiled kernel gets from
+  one-sub-histogram-per-tile);
 * the (128,128) -> slot-diagonal -> (256,) reduction runs in XLA after the
   kernel (trivial: one 64 KB tensor per chunk).
 
-Measured on v5e (16 MB chunk, interleaved median-of-5 slope timings):
-**1.93 ms (8.7 GB/s) vs the XLA formulation's 2.56 ms** — ~25% faster, so
-this kernel is the production histogram on real devices
-(``device.histogram_backend = "pallas"``, the default; ``"xla"`` forces the
-matmul formulation).  Both are bit-exact.  Variants measured and rejected:
-int8 MXU operands (2.87 ms — no MXU win, extra convert), u8-native compares
-(v5e legalizes neither ``arith.shrui`` nor ``arith.cmpi`` on i8 vectors),
-pure-XLA packed-8 (17 ms — XLA materializes the one-hot build through HBM
-instead of fusing it; the in-VMEM build is exactly what Pallas adds).  Full
-study: docs/BENCHMARKS.md.
+Measured on v5e (16 MB chunk, interleaved slope timings;
+``tools/ab_hist_pallas_r3.py``): **1.58 ms (10.6 GB/s)** vs 2.03–2.11 ms
+for the round-2 per-group-dot bf16 kernel in the same windows and 2.56 ms
+for the XLA formulation — so this kernel is the production histogram on
+real devices (``device.histogram_backend = "pallas"``, the default;
+``"xla"`` forces the matmul formulation).  All variants bit-exact.
+Round-3 same-window A/B findings:
 
-Exactness: one-hot products are 0/1 (exact in bf16); the MXU accumulates in
-f32, and each accumulator entry counts at most ``rows`` < 2^24 bytes, so all
-counts are exactly representable.  The public wrapper asserts chunks stay
-below that bound.
+* stacking the 16 per-group dots into one (dot launches 16 → 1 and
+  accumulator adds 16 → 1 per block): 2.11 → 1.89 ms;
+* **f32 one-hots instead of bf16**: 1.89 → 1.58 ms — the i1→f32 select
+  keeps every vector in the native 32-bit lane layout of the i32 compares,
+  while bf16 inserts a 16-bit relayout on 32 full-width registers per
+  block; the f32 MXU rate does not bind (the dot is ~0.2 ms of MXU time);
+* one-hots written to VMEM scratch instead of ``jnp.concatenate``: 8.3 ms
+  — explicit stores + reload defeat Mosaic's fusion;
+* two dots of 8 stacked groups: 1.96 ms; rows=64: 2.25; rows=256: 1.94;
+* ``(rep & 0xF0) == vals<<4`` masked compare replacing the ``>> 4`` shift:
+  2.30 ms (the shift was not the cost);
+* int16 widening: Mosaic compile error on v5e (as with i8 — i32 is the
+  only vector-legal widening here), the named blocker for halving the
+  compare width.
+
+Round-2 rejections (unchanged): int8 MXU operands (2.87 ms — no MXU win,
+extra convert), u8-native compares (v5e legalizes neither ``arith.shrui``
+nor ``arith.cmpi`` on i8 vectors), pure-XLA packed-8 (17 ms — XLA
+materializes the one-hot build through HBM instead of fusing it; the
+in-VMEM build is exactly what Pallas adds).  Full study: docs/BENCHMARKS.md.
+
+Exactness: one-hot entries are exactly 0.0/1.0 in f32; the MXU accumulates
+in f32, and each accumulator entry counts at most 2^24 bytes, so all counts
+are exactly representable.  The public wrapper asserts chunks stay below
+that bound.
 
 vmap-safety of the accumulate-in-place pattern: ``jax.vmap`` of a
 ``pallas_call`` prepends the batch axis to the grid
@@ -79,11 +99,12 @@ except Exception:  # pragma: no cover - environment without pallas
     _PALLAS_OK = False
 
 #: 128-byte rows per grid step (block = ROWS x 128 bytes in VMEM).  Mosaic
-#: keeps the 16 unrolled per-group intermediates live, so the scoped-VMEM
-#: footprint scales with ROWS: 512 compiles on v5e, 1024 overflows the 16 MB
-#: budget (measured 18.1 MB).  Interleaved median-of-5 on a 16 MB chunk:
-#: rows=128 → 1.93 ms, 256 → 2.47 ms, 512 → 2.51 ms (smaller blocks pipeline
-#: better against the compute), so 128 is the default.
+#: keeps the 16 unrolled per-group one-hots live for the stacked dot (two
+#: (16*ROWS, 128) f32 operands = ROWS/4 MB), so the scoped-VMEM footprint
+#: scales with ROWS; 1024 overflowed the 16 MB budget already in the
+#: round-2 shape.  Round-3 stacked-f32 A/B on a 16 MB chunk:
+#: rows=64 → 2.25 ms, 128 → **1.58 ms**, 256 → 1.94 ms (smaller blocks
+#: pipeline better against the compute), so 128 is the default.
 ROWS = 128
 
 #: hard exactness bound: per-slot counts accumulate in f32
@@ -110,19 +131,22 @@ def _hist_kernel(x_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     vals = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) >> 3  # 0..15, x8
-    acc = acc_ref[:]
+    his, los = [], []
     for g in range(16):
         t = x_ref[:, 8 * g : 8 * g + 8].astype(jnp.int32)  # (ROWS, 8)
         rep = pltpu.repeat(t, 16, axis=1)  # rep[i, c] = t[i, c & 7]
-        oh_hi = ((rep >> 4) == vals).astype(jnp.bfloat16)
-        oh_lo = ((rep & 15) == vals).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
-            oh_hi,
-            oh_lo,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    acc_ref[:] = acc
+        # f32 (not bf16) one-hots: the i1->f32 select stays in the 32-bit
+        # lane layout of the i32 compares; bf16 measured +20% (relayouts)
+        his.append(((rep >> 4) == vals).astype(jnp.float32))
+        los.append(((rep & 15) == vals).astype(jnp.float32))
+    # ONE stacked contraction per block == the sum of the 16 per-group
+    # (128,128) outer blocks, with 1/16th the dot launches and acc adds
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        jnp.concatenate(his, axis=0),
+        jnp.concatenate(los, axis=0),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def pallas_available() -> bool:

@@ -14,7 +14,10 @@ import numpy as np
 
 
 def main() -> int:
-    rows_list = [int(a) for a in sys.argv[1:]] or [2048]
+    # NOTE: the round-3 stacked kernel keeps two (16*rows, 128) f32 one-hot
+    # operands in VMEM — rows > 512 cannot compile; 128 is the production
+    # default (fastest measured).
+    rows_list = [int(a) for a in sys.argv[1:]] or [128]
     import jax
     import jax.numpy as jnp
 

@@ -70,6 +70,18 @@ class ChunkCodec(abc.ABC):
     ) -> np.ndarray:
         ...
 
+    def decode_chunk_batch(
+        self, payloads: List[bytes], metas: List[ct.ChunkMeta],
+        header: ct.ContainerHeader, metrics: StageMetrics,
+    ) -> List[np.ndarray]:
+        """Decode several chunks; default = per-chunk loop (host codecs).
+        Device codecs override to vmap compatible chunks into one program
+        (same dispatch-amortization story as :meth:`encode_chunk_batch`)."""
+        return [
+            self.decode_chunk(p, m, header, metrics)
+            for p, m in zip(payloads, metas)
+        ]
+
 
 # ---------------------------------------------------------------------------
 # Sidecar progress file (resume support)
@@ -375,29 +387,43 @@ class ChunkedPipeline:
             out.truncate(header.original_file_size)
             out_fd = out.fileno()
 
-            def job(c: ct.ChunkMeta):
-                with metrics.timed(Stage.FILE_IO, c.compressed_size):
-                    payload = os.pread(in_fd, c.compressed_size, data_start + c.compressed_offset)
-                if len(payload) != c.compressed_size:
-                    raise IOError(f"short read on chunk {c.index}")
-                data = self.codec.decode_chunk(payload, c, header, metrics)
-                if data.size != c.original_size:
-                    raise IOError(f"size mismatch in chunk {c.index}")
-                with metrics.timed(Stage.CHECKSUM_VERIFY, data.size):
-                    digest = compute_sha256(data)  # buffer protocol, no copy
-                    if digest != c.sha256:
-                        raise IOError(
-                            f"Checksum mismatch in chunk {c.index}: "
-                            f"expected {c.sha256.hex()}, got {digest.hex()} "
-                            f"(chunk {c.original_size} B, compressed {c.compressed_size} B)"
+            def job(group: List[ct.ChunkMeta]):
+                payloads = []
+                for c in group:
+                    with metrics.timed(Stage.FILE_IO, c.compressed_size):
+                        payload = os.pread(
+                            in_fd, c.compressed_size, data_start + c.compressed_offset
                         )
-                with metrics.timed(Stage.FILE_IO, data.size):
-                    os.pwrite(out_fd, data, c.original_offset)
+                    if len(payload) != c.compressed_size:
+                        raise IOError(f"short read on chunk {c.index}")
+                    payloads.append(payload)
+                datas = self.codec.decode_chunk_batch(payloads, group, header, metrics)
+                for c, data in zip(group, datas):
+                    if data.size != c.original_size:
+                        raise IOError(f"size mismatch in chunk {c.index}")
+                    with metrics.timed(Stage.CHECKSUM_VERIFY, data.size):
+                        digest = compute_sha256(data)  # buffer protocol, no copy
+                        if digest != c.sha256:
+                            raise IOError(
+                                f"Checksum mismatch in chunk {c.index}: "
+                                f"expected {c.sha256.hex()}, got {digest.hex()} "
+                                f"(chunk {c.original_size} B, compressed {c.compressed_size} B)"
+                            )
+                    with metrics.timed(Stage.FILE_IO, data.size):
+                        os.pwrite(out_fd, data, c.original_offset)
+                return len(group)
 
-            futures = [self._executor.submit(job, c) for c in header.chunks]
+            # group consecutive chunks into codec-sized batches (size 1 for
+            # host codecs — identical to the per-chunk pipeline); jobs stay
+            # fully parallel and barrier-free either way
+            bs = max(1, getattr(self.codec, "batch_chunks", 1))
+            groups = [
+                list(header.chunks[i : i + bs])
+                for i in range(0, len(header.chunks), bs)
+            ]
+            futures = [self._executor.submit(job, g) for g in groups]
             for fut in futures:
-                fut.result()
-                completed += 1
+                completed += fut.result()
                 if progress is not None:
                     progress(completed / max(num_chunks, 1))
         return metrics

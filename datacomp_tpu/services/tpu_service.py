@@ -164,6 +164,8 @@ class TpuChunkCodec(ChunkCodec):
         self._fused = None  # device-codebook fused pipeline (built lazily)
         self._batched = {}  # (Bs, with_gaps, host_tables, slots) -> jitted vmap
         self._batch_warm = set()  # batched-executable keys already run once
+        self._batched_dec = {}  # (Bs, padded, nsub, s, sps, cmp) -> jitted vmap
+        self._batch_dec_warm = set()
 
     @property
     def batch_chunks(self) -> int:
@@ -543,24 +545,56 @@ class TpuChunkCodec(ChunkCodec):
                     return out
         return self._decode_chunk(payload, meta, header, metrics)
 
-    def _decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
-        if (
+    @staticmethod
+    def _is_raw_store(payload, meta, header) -> bool:
+        return (
             header.version >= ct.VERSION_V2
             and not meta.code_lengths.any()
             and meta.compressed_size == meta.original_size
-        ):
-            with metrics.timed(Stage.DECODING, meta.original_size):
-                return np.frombuffer(payload, dtype=np.uint8)
-        use_device = (
+        )
+
+    def _device_decode_plan(self, payload, meta, header):
+        """Host-side eligibility check + static decode parameters for one
+        chunk; returns None when the chunk must decode on the host (v1
+        container, deep codebook, or pathological stream size — reference
+        parity: the GPU service delegates decompress to the CPU,
+        ``gpu/GpuCompressionService.java:852-862``).
+
+        The stream is padded to a BUCKETED static shape: padding straight to
+        the worst case (9 bits/byte ≈ 18 MB for a 16 MB chunk) would transfer
+        mostly zeros on every chunk — ruinous through slow host→device paths.
+        Eight size buckets bound the compile count while keeping the transfer
+        within 12.5% + 256 KB of the payload.
+        """
+        if not (
             header.version >= ct.VERSION_V2
             and meta.gap_bits is not None
             and meta.gap_bits.size > 0
             and header.subblock_symbols > 0
-            and 0 < max_code_len(meta.code_lengths) <= TABLE_BITS
-        )
-        if not use_device:
-            # v1 container or deep codebook: host decode (reference parity:
-            # GPU service delegates decompress to CPU, gpu/GpuCompressionService.java:852-862)
+        ):
+            return None
+        ml = max_code_len(meta.code_lengths)
+        if not 0 < ml <= TABLE_BITS:
+            return None
+        words = payload_to_words(payload)
+        cap = (9 * header.chunk_size_bytes + 31) // 32 + 4
+        if words.size > cap:
+            return None  # foreign encoder with pathological codes
+        bucket = max(cap // 8, 1 << 16)
+        padded = min(-(-words.size // bucket) * bucket, cap)
+        return {
+            "words": words,
+            "padded": padded,
+            "sps": syms_per_refill(ml, header.subblock_symbols, DEFAULT_REFILL_WORDS),
+            "cmp": cmp_len_bucket(ml),
+        }
+
+    def _decode_chunk(self, payload, meta, header, metrics: StageMetrics) -> np.ndarray:
+        if self._is_raw_store(payload, meta, header):
+            with metrics.timed(Stage.DECODING, meta.original_size):
+                return np.frombuffer(payload, dtype=np.uint8)
+        plan = self._device_decode_plan(payload, meta, header)
+        if plan is None:
             return self._cpu.decode_chunk(payload, meta, header, metrics)
 
         jax = _get_jax()
@@ -570,35 +604,132 @@ class TpuChunkCodec(ChunkCodec):
         with metrics.timed(Stage.HUFFMAN_TREE_BUILD):
             limits, adj, sym = build_decode_tables(meta.code_lengths)
         with metrics.timed(Stage.DECODING, meta.original_size):
-            # pad the stream to a BUCKETED static shape: padding straight to
-            # the worst case (9 bits/byte ≈ 18 MB for a 16 MB chunk) would
-            # transfer mostly zeros on every chunk — ruinous through slow
-            # host→device paths.  Eight size buckets bound the compile count
-            # while keeping the transfer within 12.5% + 256 KB of the payload.
-            words = payload_to_words(payload)
-            cap = (9 * header.chunk_size_bytes + 31) // 32 + 4
-            if words.size > cap:
-                # foreign encoder with pathological codes: host decode
-                return self._cpu.decode_chunk(payload, meta, header, metrics)
-            bucket = max(cap // 8, 1 << 16)
-            padded = min(-(-words.size // bucket) * bucket, cap)
-            wpad = np.zeros(padded, dtype=np.uint32)
-            wpad[: words.size] = words
+            wpad = np.zeros(plan["padded"], dtype=np.uint32)
+            wpad[: plan["words"].size] = plan["words"]
             gpad = np.zeros(nsub_static, dtype=np.uint32)
             gpad[: meta.gap_bits.size] = meta.gap_bits
             # one device_put call for all five arrays: the relay charges a
             # full latency per transfer call, not per byte
             wd, gd, ld, ad, sd = jax.device_put((wpad, gpad, limits, adj, sym), dev)
-            ml = max_code_len(meta.code_lengths)
             out = decode_device(
                 wd, gd, ld, ad, sd,
                 s,
                 nsub_static,
-                syms_per_step=syms_per_refill(ml, s, DEFAULT_REFILL_WORDS),
-                cmp_len=cmp_len_bucket(ml),
+                syms_per_step=plan["sps"],
+                cmp_len=plan["cmp"],
                 refill_words=DEFAULT_REFILL_WORDS,
             )
             return np.asarray(out)[: meta.original_size]
+
+    # -- batched decode -------------------------------------------------------
+
+    def _batched_decoder(self, Bs: int, padded: int, nsub: int, s: int,
+                         sps: int, cmp: int):
+        """ONE jitted program decoding ``Bs`` chunks (vmapped gap-array
+        decoder — the same shape ``parallel/sharded.make_sharded_decompress_
+        step`` runs per mesh device).  Amortizes program dispatch and
+        transfer-call latency over the batch, completing the symmetry with
+        :meth:`_batched_pipeline` on the encode side."""
+        key = (Bs, padded, nsub, s, sps, cmp)
+        fn = self._batched_dec.get(key)
+        if fn is None:
+            jax = _get_jax()
+
+            def one(w, g, lim, adj, sym):
+                return decode_device(
+                    w, g, lim, adj, sym, s, nsub,
+                    syms_per_step=sps, cmp_len=cmp,
+                    refill_words=DEFAULT_REFILL_WORDS,
+                )
+
+            fn = jax.jit(jax.vmap(one))
+            self._batched_dec[key] = fn
+        return fn
+
+    def decode_chunk_batch(self, payloads, metas, header, metrics: StageMetrics):
+        Bs = self.batch_chunks
+        if Bs <= 1 or len(payloads) == 1:
+            return [
+                self.decode_chunk(p, m, header, metrics)
+                for p, m in zip(payloads, metas)
+            ]
+        results: list = [None] * len(payloads)
+        plans = {}
+        groups: dict = {}  # (syms_per_step, cmp_len) -> [result index, ...]
+        for j, (p, m) in enumerate(zip(payloads, metas)):
+            if self._is_raw_store(p, m, header):
+                with metrics.timed(Stage.DECODING, m.original_size):
+                    results[j] = np.frombuffer(p, dtype=np.uint8)
+                continue
+            plan = self._device_decode_plan(p, m, header)
+            if plan is None:
+                results[j] = self._cpu.decode_chunk(p, m, header, metrics)
+                continue
+            plans[j] = plan
+            groups.setdefault((plan["sps"], plan["cmp"]), []).append(j)
+        for (sps, cmp), js in groups.items():
+            if len(js) == 1:  # lone chunk in its depth bucket: single path
+                j = js[0]
+                results[j] = self.decode_chunk(payloads[j], metas[j], header, metrics)
+                continue
+            outs = self._run_decode_batch(
+                js, payloads, metas, header, plans, sps, cmp, metrics
+            )
+            for j, out in zip(js, outs):
+                results[j] = out
+        return results
+
+    def _run_decode_batch(self, js, payloads, metas, header, plans, sps, cmp,
+                          metrics: StageMetrics):
+        jax = _get_jax()
+        dev = self.freq._ensure_device()
+        Bs = self.batch_chunks
+        assert len(js) <= Bs, "pipeline grouped more chunks than batch_chunks"
+        s = header.subblock_symbols
+        nsub = (header.chunk_size_bytes + s - 1) // s
+        # one static word width per group (max of the members' size buckets)
+        padded = max(plans[j]["padded"] for j in js)
+        with metrics.timed(Stage.HUFFMAN_TREE_BUILD):
+            tables = [build_decode_tables(metas[j].code_lengths) for j in js]
+
+        def run():
+            total = sum(metas[j].original_size for j in js)
+            with metrics.timed(Stage.DECODING, total):
+                # static batch shape: pad tail groups by repeating row 0 so
+                # one executable serves every group; padding rows cost only
+                # their compute and are never fetched
+                wpad = np.zeros((Bs, padded), dtype=np.uint32)
+                gpad = np.zeros((Bs, nsub), dtype=np.uint32)
+                lim = np.tile(tables[0][0], (Bs, 1))
+                adj = np.tile(tables[0][1], (Bs, 1))
+                sym = np.tile(tables[0][2], (Bs, 1))
+                for i, j in enumerate(js):
+                    w = plans[j]["words"]
+                    wpad[i, : w.size] = w
+                    gpad[i, : metas[j].gap_bits.size] = metas[j].gap_bits
+                    lim[i], adj[i], sym[i] = tables[i]
+                # one device_put call for the whole group's five arrays
+                wd, gd, ld, ad, sd = jax.device_put(
+                    (wpad, gpad, lim, adj, sym), dev
+                )
+                fn = self._batched_decoder(Bs, padded, nsub, s, sps, cmp)
+                out = fn(wd, gd, ld, ad, sd)
+                # fetch only the live rows, in ONE transfer
+                fetched = np.asarray(out[: len(js)])
+                return [
+                    fetched[i, : metas[j].original_size]
+                    for i, j in enumerate(js)
+                ]
+
+        key = (Bs, padded, nsub, s, sps, cmp)
+        if key not in self._batch_dec_warm:
+            # serialize each executable's first run (program-load handshake
+            # degrades badly under concurrency on remote-attached devices)
+            with self._warm_lock:
+                outs = run()
+                self._batch_dec_warm.add(key)
+                return outs
+        return run()
 
 
 class TpuCompressionService(CompressionService):

@@ -257,3 +257,46 @@ class TestBatchedPipeline:
         svc = TpuCompressionService(c)
         assert svc._codec.batch_chunks == 1  # auto: CPU platform
         svc.close()
+
+    def test_batched_decode_matches_per_chunk(self, tmp_path):
+        """decode_chunk_batch (one vmapped program per depth-bucket group,
+        raw-store and host chunks routed around it) returns bit-identical
+        output to the per-chunk decoder for a mixed container."""
+        from datacomp_tpu.models import StageMetrics
+        from datacomp_tpu.services.tpu_service import TpuChunkCodec
+
+        data = (
+            generate_bytes("text", 1024 * 1024)
+            + generate_bytes("skewed", 1024 * 1024)
+            + generate_bytes("random", 1024 * 1024)  # raw-store in v2
+            + generate_bytes("compressible", 512 * 1024 + 77)
+        )
+        src = tmp_path / "d.bin"
+        src.write_bytes(data)
+        c = load_config(
+            compression={"chunk_size_mb": 1, "format_version": 2},
+            device={"batch_chunks": 4},
+        )
+        dcz = str(src) + ".dcz"
+        with TpuCompressionService(c) as svc:
+            svc.compress(str(src), dcz)
+            # round trip through the batched pipeline path itself
+            svc.decompress(dcz, dcz + ".out")
+        assert open(dcz + ".out", "rb").read() == data
+
+        header, data_start = read_container(dcz)
+        with open(dcz, "rb") as f:
+            payloads = [
+                (f.seek(data_start + m.compressed_offset), f.read(m.compressed_size))[1]
+                for m in header.chunks
+            ]
+        codec = TpuChunkCodec(c)
+        batch = codec.decode_chunk_batch(
+            payloads, header.chunks, header, StageMetrics()
+        )
+        for m, out in zip(header.chunks, batch):
+            single = codec.decode_chunk(
+                payloads[m.index], m, header, StageMetrics()
+            )
+            assert np.array_equal(out, single), f"chunk {m.index} diverged"
+        assert b"".join(np.asarray(o).tobytes() for o in batch) == data

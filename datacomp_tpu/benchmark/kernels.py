@@ -452,8 +452,8 @@ def run_pipeline_batch_bench(
 def format_pipeline_batch_results(results: Dict[str, dict], size_mb: int) -> str:
     lines = [
         "",
-        f"Batched fused pipeline ({size_mb} MB chunks, hist→codebook→encode, "
-        "slope-timed)",
+        f"Batched device programs ({size_mb} MB chunks, slope-timed; "
+        "pipeline-b* = hist→codebook→encode, decode-b* = gap-array decode)",
         "=" * 78,
     ]
     for name, r in results.items():
@@ -465,6 +465,121 @@ def format_pipeline_batch_results(results: Dict[str, dict], size_mb: int) -> str
         )
     lines.append("=" * 78)
     return "\n".join(lines)
+
+
+def run_decode_batch_bench(
+    size_mb: int = 16,
+    kind: str = "text",
+    batch_sizes: tuple = (1, 4, 8),
+    subblock: int = 4032,
+    k_points: tuple = (2, 6),
+    repeats: int = 3,
+) -> Dict[str, dict]:
+    """Device-side A/B of the batched DECODE path (``decode_chunk_batch``).
+
+    For each B, ONE jitted program runs the gap-array decoder
+    (``ops/decode.py``) vmapped over B *distinct* encoded ``size_mb`` chunks
+    — the exact executable ``TpuChunkCodec._batched_decoder`` dispatches for
+    one depth-bucket group.  Same slope/intercept split as
+    :func:`run_pipeline_batch_bench`: the intercept (dispatch + sync +
+    program-entry constants per invocation) is what batching divides by B.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import native
+    from ..core.bitio import encode_bitstream
+    from ..core.huffman import build_codebook
+    from ..ops import (
+        DEFAULT_REFILL_WORDS,
+        build_decode_tables,
+        cmp_len_bucket,
+        decode_device,
+        max_code_len,
+        payload_to_words,
+        syms_per_refill,
+    )
+    from ..utils.testdata import generate_bytes
+
+    n = size_mb << 20
+    nsub = (n + subblock - 1) // subblock
+    maxb = max(batch_sizes)
+    blob = np.frombuffer(generate_bytes(kind, n * maxb), dtype=np.uint8)
+    chunks = []
+    ml_all = 0
+    for b in range(maxb):
+        data = blob[b * n : (b + 1) * n]
+        lengths, codes = build_codebook(
+            np.bincount(data, minlength=256).astype(np.int64)
+        )
+        ml_all = max(ml_all, max_code_len(lengths))
+        if native.is_available():
+            payload, gaps = native.encode(data, lengths, codes, subblock=subblock)
+            payload = bytes(payload)
+        else:
+            payload = encode_bitstream(data, lengths, codes)
+            ll = lengths.astype(np.int64)[data]
+            gaps = ((np.cumsum(ll) - ll)[::subblock]).astype(np.uint32)
+        chunks.append((payload_to_words(payload), np.asarray(gaps)[:nsub],
+                       build_decode_tables(lengths)))
+
+    padded = max(c[0].size for c in chunks)
+    sps = syms_per_refill(ml_all, subblock, DEFAULT_REFILL_WORDS)
+    cmp = cmp_len_bucket(ml_all)
+    dev = jax.devices()[0]
+    results: Dict[str, dict] = {}
+    for B in batch_sizes:
+        wpad = np.zeros((B, padded), dtype=np.uint32)
+        gpad = np.zeros((B, nsub), dtype=np.uint32)
+        lim = np.stack([chunks[b][2][0] for b in range(B)])
+        adj = np.stack([chunks[b][2][1] for b in range(B)])
+        sym = np.stack([chunks[b][2][2] for b in range(B)])
+        for b in range(B):
+            w, g, _ = chunks[b]
+            wpad[b, : w.size] = w
+            gpad[b, : g.size] = g
+        wd, gd, ld, ad, sd = jax.device_put((wpad, gpad, lim, adj, sym), dev)
+
+        vfn = jax.vmap(
+            lambda w, g, l, a, s_: decode_device(
+                w, g, l, a, s_, subblock, nsub,
+                syms_per_step=sps, cmp_len=cmp,
+                refill_words=DEFAULT_REFILL_WORDS,
+            )
+        )
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(w, g, l, a, s_, k, vfn=vfn):
+            def body(i, carry):
+                acc, w = carry
+                out = vfn(w, g, l, a, s_)
+                total = out[:, 1].astype(jnp.int32).sum()
+                return acc + total, w ^ _unfoldable_dep(total).astype(w.dtype)
+
+            acc, _ = jax.lax.fori_loop(0, k, body, (jnp.int32(0), w))
+            return acc
+
+        times = {}
+        for K in k_points:
+            _ = int(chain(wd, gd, ld, ad, sd, k=K))
+            _ = int(chain(wd, gd, ld, ad, sd, k=K))
+            best = float("inf")
+            for _i in range(repeats):
+                t0 = time.perf_counter()
+                _ = int(chain(wd, gd, ld, ad, sd, k=K))
+                best = min(best, time.perf_counter() - t0)
+            times[K] = best
+        k1, k2 = min(k_points), max(k_points)
+        slope = max((times[k2] - times[k1]) / (k2 - k1), 1e-9)
+        intercept = max(times[k1] - k1 * slope, 0.0)
+        results[f"decode-b{B}"] = {
+            "batch": B,
+            "compute_ms_per_chunk": round(slope / B * 1e3, 3),
+            "mbps_per_chunk": round(n / 1e6 / (slope / B), 1),
+            "overhead_ms_per_program": round(intercept * 1e3, 3),
+            "overhead_ms_per_chunk": round(intercept / B * 1e3, 3),
+        }
+    return results
 
 
 def format_kernel_results(results: Dict[str, dict], size_mb: int, fmt: str = "console") -> str:

@@ -149,10 +149,12 @@ def cmd_bench(args) -> int:
     if getattr(args, "batched", False):
         from .benchmark.kernels import (
             format_pipeline_batch_results,
+            run_decode_batch_bench,
             run_pipeline_batch_bench,
         )
 
         results = run_pipeline_batch_bench(size_mb=args.size_mb, kind=args.kind)
+        results.update(run_decode_batch_bench(size_mb=args.size_mb, kind=args.kind))
         if args.format_out == "json":
             import json as _json
 

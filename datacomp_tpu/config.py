@@ -61,11 +61,13 @@ class DeviceConfig:
     # Chunks in flight concurrently (streams overlap host work + transfer
     # latencies; measured +24% from a second same-direction relay stream).
     parallel_chunks: int = 3
-    # Chunks encoded per device program (vmapped batch): amortizes program
-    # dispatch + per-transfer-call latency, the role of the reference's
-    # sliding-window device scheduler (GpuCompressionService.java:232-320).
-    # 0 = auto (device-measured default per platform); 1 = one chunk per
-    # program.  Device-side A/B: docs/BENCHMARKS.md "batched pipeline".
+    # Chunks per device program (vmapped batch), on BOTH directions —
+    # encode (hist→codebook→encode) and decode (gap-array, grouped by
+    # codebook-depth bucket): amortizes program dispatch + per-transfer-call
+    # latency, the role of the reference's sliding-window device scheduler
+    # (GpuCompressionService.java:232-320).  0 = auto (device-measured
+    # default per platform); 1 = one chunk per program.  Device-side A/B:
+    # docs/BENCHMARKS.md "batched device pipeline".
     batch_chunks: int = 0
     # Device histogram formulation: "pallas" (packed-8 Mosaic kernel,
     # ops/histogram_pallas.py — measured 25% faster than the matmul

@@ -16,8 +16,8 @@ per-backend numbers and decompress throughput.
 Note on this environment: the TPU is reached through a loopback relay whose
 device→host transfer path sustains ~40 MB/s, which caps the TPU service's
 end-to-end number far below the device kernels' throughput (histogram
-~6 GB/s, encode ~10 s⁻¹·160 MB measured on-chip); per-op timings live in
-docs/ARCHITECTURE.md.
+11-14 GB/s, encode ~275 MB/s, decode 1.5-2.2 GB/s measured on-chip with
+DCE-proof harnesses); per-op timings live in docs/BENCHMARKS.md.
 """
 
 import json

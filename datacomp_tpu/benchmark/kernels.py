@@ -41,6 +41,8 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 
     * ``gather_ns`` — per-element cost of a data-dependent vector gather
       (the decode kernel's only remaining gather is its word refill);
+    * ``scatter_ns`` — per-index cost of a unique-set scatter (the encode
+      kernel's ownership writes — its governing cost);
     * ``mac_per_s`` — sustained f32-accumulate MAC rate of a large matmul
       (the one-hot-einsum lookups in histogram/encode ride this);
     * ``vpu_elem_per_s`` — sustained elementwise int32 op rate (shifts,
@@ -63,6 +65,19 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 
     def gather_row8_once(ix):
         return table8[ix].sum(dtype=jnp.int32)
+
+    # unique-set scatter at the encode kernel's shape (n unique indices into
+    # an n-word buffer, mode="drop"): the ownership scatter is encode's
+    # governing cost (slots x n/32 indices per chunk).  A permutation keeps
+    # the unique_indices contract honest under the chain's index perturbation
+    # (x ^ 0/1 maps a permutation to a permutation).
+    svals = jax.device_put(rng.integers(0, 1 << 30, n, dtype=np.int32))
+    sidx = jax.device_put(rng.permutation(n).astype(np.int32))
+
+    def scatter_once(ix):
+        out = jnp.zeros(n, jnp.int32)
+        out = out.at[ix].set(svals, mode="drop", unique_indices=True)
+        return out[0] + out[n - 1]
 
     _VPU_OPS = 24  # elementwise int32 ops per vpu_once call (8 rounds x 3)
 
@@ -116,6 +131,8 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
                 lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype), 2, 6)
     g8_s = slope(gather_row8_once, idx8,
                  lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype), 2, 6)
+    sc_s = slope(scatter_once, sidx,
+                 lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype), 2, 6)
     m_s = slope(matmul_once, a,
                 lambda x, t: x.at[0, 0].add(_unfoldable_dep(t).astype(x.dtype)),
                 mk_lo, mk_hi)
@@ -130,6 +147,8 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
         # per-INDEX cost of an 8-word row gather (the decode refill's shape;
         # near the 1-word per-index cost — the basis of refill_words=8)
         "gather_row8_ns": g8_s / (n >> 3) * 1e9,
+        # per-INDEX cost of a unique-set scatter (encode's ownership writes)
+        "scatter_ns": sc_s / n * 1e9,
         "mac_per_s": (m * m * m) / m_s,
         "vpu_elem_per_s": (n * _VPU_OPS) / v_s,
     }
@@ -140,8 +159,8 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
 #: utilization of the kernel's contractions: 16-wide one-hot shapes light up
 #: 16/128 of each MXU dimension, so the array spins 64 cycles per useful
 #: 16x16 tile — the bound must charge the full spin.
-#: Each kernel's floor is ``max(mxu term, vpu term, gather term)`` — three
-#: units that can in principle overlap, so the max is a true lower bound.
+#: Each kernel's floor is ``max(mxu, vpu, gather, scatter)`` — units that
+#: can in principle overlap, so the max is a true lower bound.
 #: ``vpu_ops_per_byte`` counts the elementwise int32/bf16 vector ops the
 #: formulation performs per input byte (the one-hot BUILDS and window
 #: shifts that round 2's MAC-only bounds omitted — the "bound we admit is
@@ -165,10 +184,13 @@ _KERNEL_COSTS = {
     # what actually binds (see ops/histogram_pallas.py)
     "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0,
                          "mxu_util": 1 / 8, "vpu_ops_per_byte": 112.0},
-    # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each.
-    # (A 2-3-plane packed variant has fewer MACs but measured 1.8x slower
-    # on v5e — the bound charges the formulation actually shipped.)
+    # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each,
+    # plus the GOVERNING term (round-3 finding, after the DCE-proofing fix
+    # below): the ownership scatter, slots = min(33, maxlen+2) unique-set
+    # writes per 32-byte group — filled at bench time from the data's
+    # codebook depth.
     "encode": {"macs_per_byte": 5 * 272.0, "gathers_per_byte": 0.0,
+               "scatters_per_byte": None,
                "mxu_util": 1 / 64, "vpu_ops_per_byte": 114.0},
     # 1 row-refill gather (8 words) per syms_per_step symbols + ONE hoisted
     # 16x16 one-hot symbol einsum per symbol; gathers and the per-symbol
@@ -253,13 +275,16 @@ def run_kernel_bench(
         return lens_d[1] + codes_d[1].astype(jnp.int32)
 
     def encode_once(x):
-        # code_bits plane packing deliberately NOT used: measured 1.8x
-        # slower on v5e despite 40% fewer MACs (docs/BENCHMARKS.md r3)
         w, tb, g = encode_device_merge(
             x, jnp.int32(n), ld, cd, out_words,
             subblock=subblock, max_slots=min(33, maxlen + 2),
         )
-        return tb
+        # DCE-proofing: total_bits depends only on the lengths plane +
+        # cumsum, so returning tb alone lets XLA dead-code-eliminate the
+        # codeword planes, merge tree and ownership scatter — the timed
+        # program must consume `w` (production always fetches the payload)
+        chk = jnp.sum(w, dtype=jnp.uint32)
+        return tb + (chk >> jnp.uint32(31)).astype(jnp.int32)
 
     def decode_once(x):
         o = decode_device(x, gd, Ld, Ad, Sd, subblock, nsub, syms_per_step=sps,
@@ -341,22 +366,29 @@ def run_kernel_bench(
             if vpu_ops is None:  # decode: compare pass + V-register shifts
                 V = 2 * DEFAULT_REFILL_WORDS + 1
                 vpu_ops = 4.0 * cmp_len_bucket(maxlen) + 3.0 * V + 8.0
+            scatters = cost.get("scatters_per_byte", 0.0)
+            if scatters is None:  # encode: slots ownership writes per group
+                scatters = min(33, maxlen + 2) / 32.0
             mac_floor_s = cost["macs_per_byte"] / (
                 prim["mac_per_s"] * cost.get("mxu_util", 1.0)
             )  # s/byte
             gather_floor_s = gathers * gather_ns * 1e-9
+            scatter_floor_s = scatters * prim.get("scatter_ns", 0.0) * 1e-9
             vpu_floor_s = vpu_ops / prim["vpu_elem_per_s"]
-            floor_s = max(mac_floor_s, gather_floor_s, vpu_floor_s)
+            floor_s = max(mac_floor_s, gather_floor_s, scatter_floor_s,
+                          vpu_floor_s)
             bound = 1.0 / floor_s / 1e6  # MB/s
             r["bound_mbps"] = round(bound, 1)
             r["efficiency"] = round(r["mbps"] / bound, 3)
             r["bound_kind"] = {
                 mac_floor_s: "mxu-mac", gather_floor_s: "gather",
+                scatter_floor_s: "scatter",
                 vpu_floor_s: "vpu-elem",
             }[floor_s]
         results["_primitives"] = {
             "gather_ns": round(prim["gather_ns"], 3),
             "gather_row8_ns": round(prim.get("gather_row8_ns", 0.0), 3),
+            "scatter_ns": round(prim.get("scatter_ns", 0.0), 3),
             "mac_per_s": round(prim["mac_per_s"], 1),
             "vpu_elem_per_s": round(prim["vpu_elem_per_s"], 1),
         }
@@ -396,16 +428,36 @@ def run_pipeline_batch_bench(
     n = size_mb << 20
     out_words = (9 * n + 31) // 32 + 2
     dev = jax.devices()[0]
+    hist_fn = histogram_device
     if dev.platform != "cpu":
-        from ..ops import histogram_pallas as hist_fn
-    else:
-        hist_fn = histogram_device
+        from ..ops import histogram_pallas, pallas_available
 
-    def one(d, v):
-        h = hist_fn(d, v)
-        lens, cws = device_codebook(h)
-        _, tb, _ = encode_device_merge(d, v, lens, cws, out_words, subblock)
-        return tb
+        if pallas_available():  # import may have failed: fall back to XLA
+            hist_fn = histogram_pallas
+
+    def batched(d, v):
+        """Mirrors TpuChunkCodec._batched_pipeline (device-codebook mode):
+        vmapped hist+codebook, then encode under a RUNTIME slot-bucket
+        switch on the batch-max codebook depth (scalar predicate outside
+        the vmap — a vmapped switch would execute every branch)."""
+        lens, cws = jax.vmap(lambda di, vi: device_codebook(hist_fn(di, vi)))(d, v)
+        ml = jnp.max(lens)
+        case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
+
+        def enc(slots):
+            def branch(_):
+                return jax.vmap(
+                    lambda di, vi, li, ci: encode_device_merge(
+                        di, vi, li, ci, out_words, subblock, max_slots=slots
+                    )
+                )(d, v, lens, cws)
+            return branch
+
+        w, tb, _ = jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
+        # DCE-proofing: consume the packed words (tb alone depends only on
+        # the lengths plane + cumsum — XLA would drop the merge + scatter)
+        chk = jnp.sum(w, dtype=jnp.uint32)
+        return tb + (chk >> jnp.uint32(31)).astype(jnp.int32)
 
     maxb = max(batch_sizes)
     blob = np.frombuffer(generate_bytes(kind, n * maxb), dtype=np.uint8)
@@ -414,10 +466,8 @@ def run_pipeline_batch_bench(
         data = blob[: B * n].reshape(B, n)  # B distinct chunks
         dd = jax.device_put(data, dev)
         vl = jax.device_put(np.full(B, n, np.int32), dev)
-        vfn = jax.vmap(one)
-
         @functools.partial(jax.jit, static_argnames=("k",))
-        def chain(x, v, k, vfn=vfn):
+        def chain(x, v, k, vfn=batched):
             def body(i, carry):
                 acc, x = carry
                 total = vfn(x, v).sum().astype(jnp.int32)
@@ -601,6 +651,7 @@ def format_kernel_results(results: Dict[str, dict], size_mb: int, fmt: str = "co
     if prim:
         lines.append(
             f"  primitives: gather {prim['gather_ns']:.2f} ns/elem, "
+            f"scatter {prim.get('scatter_ns', 0):.2f} ns/idx, "
             f"matmul {prim['mac_per_s'] / 1e12:.2f} TMAC/s, "
             f"vpu {prim.get('vpu_elem_per_s', 0) / 1e9:.1f} Gelem-op/s"
         )

@@ -159,6 +159,13 @@ def cmd_bench(args) -> int:
             import json as _json
 
             print(_json.dumps({"chunk_mb": args.size_mb, "pipeline": results}, indent=2))
+        elif args.format_out == "csv":
+            print("name,batch,compute_ms_per_chunk,mbps_per_chunk,"
+                  "overhead_ms_per_program,overhead_ms_per_chunk")
+            for name, r in results.items():
+                print(f"{name},{r['batch']},{r['compute_ms_per_chunk']},"
+                      f"{r['mbps_per_chunk']},{r['overhead_ms_per_program']},"
+                      f"{r['overhead_ms_per_chunk']}")
         else:
             print(format_pipeline_batch_results(results, args.size_mb))
         return 0

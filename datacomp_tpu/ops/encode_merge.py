@@ -6,8 +6,12 @@ per-word binary-search gather, ``encodePacketKernel:115-205``) and to the
 reduction-merge algebra of the paper bundled with the reference
 (arXiv:2010.10039).  Designed for what this hardware actually rewards —
 measured on-chip: XLA per-element gathers cost ~8.5 ns (a 16M-element table
-lookup = 330 ms) while MXU matmuls and sorted scatter-sets are orders of
-magnitude cheaper.  Hence:
+lookup = 330 ms) while MXU matmuls are orders of magnitude cheaper, and the
+one unavoidable per-index op — the ownership scatter, slots/32 ≈ 0.38
+indices per byte at 10-bit codes — costs far less than the 1-per-byte a
+gather formulation would.  The scatter is the kernel's governing cost
+(~100% of the measured scatter floor; whole-kernel 61 ms / 16 MB = 275 MB/s
+on v5e at 10-bit codes, docs/BENCHMARKS.md round 3).  Hence:
 
 * **table lookups as matmuls** — per-symbol (length, codeword) come from
   16×16 one-hot einsums over bit-split planes (1.1 ms / 16M symbols vs
@@ -21,8 +25,8 @@ magnitude cheaper.  Hence:
 * **placement** — every full group holds ≥ 32 bits, so output words are
   *owned* by exactly one group; each group emits its ≤ 33 owned words
   (elementwise shifts from its own block + the next group's head word) and
-  one sorted unique scatter-set per word slot places them.  No atomics, no
-  read-modify-write, no binary search.
+  one unique scatter-set per word slot places them (dead slots dropped
+  out-of-bounds).  No atomics, no read-modify-write, no binary search.
 
 Bit/byte order matches the reference stream exactly (MSB-first, big-endian
 words); validated bit-for-bit against the host encoder in tests.
@@ -72,12 +76,14 @@ def lookup_symbol_tables(
     codeword into four 8-bit planes plus a length plane (5 one-hot einsums,
     any codebook).  ``code_bits = 8``/``16`` packs ``len << code_bits | code``
     into one value spanning 2/3 planes (each 8-bit slice < 256 stays
-    bf16/f32-exact).  **Measured NEGATIVE on v5e** (round-3 A/B, same
-    window: 5-plane 2.59 ms vs 3-plane 4.63 ms per 16 MB): XLA lowers the
-    five einsums sharing one (ohh, ohl) pair better than it lowers three,
-    so fewer algebraic MACs bought a 1.8x slower kernel.  Kept (with its
-    bit-exactness test) so other parts/toolchains can re-measure; every
-    production call site passes 0.  Full study: docs/BENCHMARKS.md.
+    bf16/f32-exact).  **Measured a wash on v5e** (round-3 DCE-proof A/B,
+    whole-kernel, same window: 79.6 vs 78.6 ms on 10-bit text, 60.0 vs
+    58.9 ms on 6-bit data — ≈1%, within window noise): the encode kernel is
+    scatter-bound, so the lookup's MAC count barely registers.  (An earlier
+    A/B that claimed packing was 1.8x slower timed a program whose packed
+    words were dead-code-eliminated — see docs/BENCHMARKS.md for the
+    correction.)  Kept simple: every production call site passes 0; the
+    mechanism + bit-exactness test remain for re-measurement elsewhere.
     """
     codes = codes.astype(jnp.uint32)
     if code_bits:
@@ -168,9 +174,10 @@ def _exclusive_cumsum_2level(x: jnp.ndarray, row: int = 128):
 def code_bits_bucket(max_len: int) -> int:
     """Static plane-packing width for :func:`encode_device_merge`'s lookup:
     8 (2 one-hot planes) for codebooks ≤ 8 bits, 16 (3 planes) for ≤ 16,
-    0 (the 5-plane any-codebook split) otherwise.  NOTE: packing measured
-    1.8x SLOWER on v5e (see :func:`lookup_symbol_tables`); production
-    passes 0 — this helper exists for re-measurement on other parts."""
+    0 (the 5-plane any-codebook split) otherwise.  NOTE: whole-kernel
+    packing measured a ≈1% wash on v5e (the encode kernel is scatter-bound;
+    see :func:`lookup_symbol_tables`); production passes 0 — this helper
+    exists for re-measurement on other parts."""
     if max_len <= 8:
         return 8
     if max_len <= 16:
@@ -197,8 +204,8 @@ def encode_device_merge(
     spans at most ``32·maxlen`` bits ⇒ ≤ ``maxlen + 1`` owned words (+1 for
     alignment).  Callers that build the codebook host-side pass
     ``min(33, maxlen + 2)`` to skip provably-empty scatter slots.
-    ``code_bits`` stays 0 in production (plane packing measured slower on
-    v5e — see :func:`lookup_symbol_tables`).
+    ``code_bits`` stays 0 in production (plane packing measured a wash on
+    v5e — the kernel is scatter-bound; see :func:`lookup_symbol_tables`).
     """
     n = data.shape[0]
     assert n % GROUP == 0, "padded chunk size must be a multiple of 32"
@@ -245,12 +252,16 @@ def encode_device_merge(
         rel = glen.astype(jnp.int32) - (jnp.int32(32) * j) - d.astype(jnp.int32)
         rel_u = jnp.clip(rel, 1, 31).astype(jnp.uint32)
         val = val | jnp.where((rel > 0) & (rel < 32), h_next >> rel_u, jnp.uint32(0))
-        # scatter-ADD with zero-masked values: targets stay sorted/in-range
-        # (an OOB sentinel would break the sorted contract and drop writes),
-        # and word ownership is disjoint so add ≡ set for the real writes
-        val = jnp.where(j < count, val, jnp.uint32(0))
-        tgt = jnp.clip(v + j, 0, out_words - 1)
-        out = out.at[tgt].add(val, mode="drop", indices_are_sorted=True)
+        # unique-SET scatter with dead slots dropped out-of-bounds: word
+        # ownership is disjoint, so sending masked slots to out_words (and
+        # dropping them) makes every surviving index unique — measured
+        # 61 vs 79 ms/16 MB against the round-2 sorted scatter-ADD of
+        # zero-masked values (whose zero-adds collide, forbidding the
+        # unique flag).  indices_are_sorted stays OFF: the OOB sentinel
+        # breaks monotonicity and a sorted claim DROPS real writes
+        # (measured bit-exactness failure; A/B table in docs/BENCHMARKS.md).
+        tgt = jnp.where(j < count, v + j, jnp.int32(out_words))
+        out = out.at[tgt].set(val, mode="drop", unique_indices=True)
 
     if subblock:
         assert subblock % GROUP == 0, "subblock must be a multiple of 32 symbols"

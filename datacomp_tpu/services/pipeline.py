@@ -274,8 +274,11 @@ class ChunkedPipeline:
                     ]
 
                 # group chunk indices into codec-sized batches, then run a
-                # bounded sliding window of batch jobs: submit up to `window`,
-                # one-in-one-out as the ordered writer drains the head
+                # bounded sliding window of batch jobs: submit up to
+                # `window` CHUNKS worth of jobs (the backpressure bound is
+                # counted in chunks, so batch codecs don't inflate it by
+                # their batch factor), one-in-one-out as the ordered writer
+                # drains the head
                 from collections import deque
                 from itertools import islice
 
@@ -284,8 +287,9 @@ class ChunkedPipeline:
                 todo = iter(
                     lambda: list(islice(idx_it, bs)), []
                 )  # consecutive index groups of size <= bs
+                window_jobs = max(1, -(-self.window // bs))
                 inflight = deque(
-                    self._executor.submit(job, g) for g in islice(todo, self.window)
+                    self._executor.submit(job, g) for g in islice(todo, window_jobs)
                 )
                 while inflight:
                     results = inflight.popleft().result()

@@ -171,13 +171,18 @@ class TpuChunkCodec(ChunkCodec):
     def batch_chunks(self) -> int:
         """Chunks per device program (the pipeline groups jobs by this).
 
-        ``device.batch_chunks = 0`` (auto) resolves per platform: 4 on real
-        devices — one program dispatch + one H2D call per 4 chunks, the
-        TPU re-expression of the reference's sliding-window device scheduler
-        (``GpuCompressionService.java:232-320``; device-side A/B in
-        docs/BENCHMARKS.md) — and 1 on CPU platforms, where the XLA:CPU
-        program would serialize chunks the worker threads already
-        parallelize."""
+        ``device.batch_chunks = 0`` (auto) resolves per platform: 4 on
+        directly-attached devices — one program dispatch + one H2D call per
+        4 chunks, the TPU re-expression of the reference's sliding-window
+        device scheduler (``GpuCompressionService.java:232-320``;
+        device-side A/B in docs/BENCHMARKS.md) — and 1 on CPU platforms
+        (the XLA:CPU program would serialize chunks the worker threads
+        already parallelize) AND on relay-attached devices (platform
+        ``axon``): a transfer-bound half-duplex link rewards many small
+        overlapping chunk streams over dispatch amortization — measured
+        end-to-end 46–47 MB/s per-chunk vs 29 MB/s batched on this rig's
+        relay, while on-device dispatch overhead (the thing batching
+        removes) is invisible behind the link latency."""
         b = self.config.device.batch_chunks
         if b != 0:
             return b
@@ -185,7 +190,7 @@ class TpuChunkCodec(ChunkCodec):
             platform = self.freq._ensure_device().platform
         except Exception:  # noqa: BLE001 — no device: fallback paths handle it
             return 1
-        return 1 if platform == "cpu" else 4
+        return 1 if platform in ("cpu", "axon") else 4
 
     def _histogram_fn(self):
         """Backend-selected device histogram: the Pallas packed-8 kernel
@@ -202,6 +207,32 @@ class TpuChunkCodec(ChunkCodec):
                 return histogram_pallas
         return histogram_device
 
+    @staticmethod
+    def _encode_slot_switch(jax, data, valid_len, lengths, codes, out_words,
+                            subblock):
+        """Device-codebook encode with RUNTIME slot bucketing: the codebook
+        depth is a traced value here (it was computed on device), so the
+        static ``max_slots`` bucketing the host-table paths use is
+        unavailable — and paying the full 33-slot ownership scatter costs
+        2x on typical data (measured 130 vs ~65 ms/16 MB chunk, round 3).
+        ``lax.switch`` compiles all three slot buckets into the executable
+        and runs exactly ONE at runtime, picked by the on-device max code
+        length."""
+        import jax.numpy as jnp
+
+        ml = jnp.max(lengths)
+
+        def enc(slots):
+            def branch(_):
+                return encode_device_merge(
+                    data, valid_len, lengths, codes, out_words, subblock,
+                    max_slots=slots,
+                )
+            return branch
+
+        case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
+        return jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
+
     def _fused_pipeline(self):
         """Single jit for the device-codebook mode: histogram → codebook →
         encode in ONE executable (one program load, no host round-trips)."""
@@ -213,8 +244,8 @@ class TpuChunkCodec(ChunkCodec):
             def fused(data, valid_len):
                 hist = hist_fn(data, valid_len)
                 lengths, codes = device_codebook(hist)
-                words, total_bits, gaps = encode_device_merge(
-                    data, valid_len, lengths, codes, self.out_words,
+                words, total_bits, gaps = self._encode_slot_switch(
+                    jax, data, valid_len, lengths, codes, self.out_words,
                     self.subblock or self.config.compression.subblock_symbols,
                 )
                 return lengths, words, total_bits, gaps
@@ -302,10 +333,13 @@ class TpuChunkCodec(ChunkCodec):
         dev = self.freq._ensure_device()
         padded = np.zeros(self.padded_size, dtype=np.uint8)
         padded[:n] = data
-        x = jax.device_put(padded, dev)
         if mode == "device" and v2:
-            # fused single-executable path: histogram → codebook → encode
+            # fused single-executable path: histogram → codebook → encode.
+            # The H2D upload is timed inside ENCODING, matching _run_batch —
+            # stage metrics must attribute transfer identically on the
+            # single and batched paths or batch_chunks A/Bs misread.
             with metrics.timed(Stage.ENCODING, n):
+                x = jax.device_put(padded, dev)
                 lengths_dev, words, total_bits, gaps = self._fused_pipeline()(
                     x, jnp.int32(n)
                 )
@@ -331,27 +365,35 @@ class TpuChunkCodec(ChunkCodec):
         if mode == "device":
             # v1 + device codebook: histogram + codebook stay on device
             with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
+                x = jax.device_put(padded, dev)
                 hist_dev = self._histogram_fn()(x, jnp.int32(n))
             with metrics.timed(Stage.HUFFMAN_TREE_BUILD, n):
                 lengths_dev, codes_dev = device_codebook(hist_dev)
                 lengths = np.asarray(lengths_dev)
                 codes = np.asarray(codes_dev).astype(np.uint32)
         else:
-            # host codebook (built above from the host histogram): ship the
-            # 256-entry tables up with the data — no histogram round trip
-            lengths_dev = jax.device_put(lengths, dev)
-            codes_dev = jax.device_put(codes, dev)
+            # host codebook (built above from the host histogram): the
+            # 256-entry tables ship up WITH the data inside the encode stage
+            # below — one device_put call, no histogram round trip
+            lengths_dev = codes_dev = None
 
         # bucketed static scatter-slot bound (maxlen+2), avoiding a recompile
         # per distinct per-chunk max code length.  (code_bits plane packing
-        # deliberately NOT used: measured 1.8x SLOWER on v5e despite 40%
-        # fewer MACs — see encode_merge.lookup_symbol_tables / BENCHMARKS.md)
+        # not used: see the A/B in encode_merge.lookup_symbol_tables /
+        # docs/BENCHMARKS.md)
         if mode == "device":
             slots = 33
         else:
             ml = int(lengths.max()) if lengths.any() else 1
             slots = next(b for b in (10, 18, 33) if b >= ml + 2)
         with metrics.timed(Stage.ENCODING, n):
+            if lengths_dev is None:
+                # ONE upload call for data + both tables (the relay charges
+                # a full latency per transfer call); timed here so transfer
+                # attribution matches the batched path (_run_batch)
+                x, lengths_dev, codes_dev = jax.device_put(
+                    (padded, lengths, codes.astype(np.uint32)), dev
+                )
             if v2:
                 words, total_bits, gaps = encode_device_merge(
                     x, jnp.int32(n), lengths_dev, codes_dev,
@@ -408,14 +450,33 @@ class TpuChunkCodec(ChunkCodec):
             else:
                 hist_fn = self._histogram_fn()
 
-                def one(d, v):
-                    h = hist_fn(d, v)
-                    lens, cws = device_codebook(h)
-                    out = encode_device_merge(
-                        d, v, lens, cws, self.out_words, sub, max_slots=slots
-                    )
+                def tables_one(d, v):
+                    return device_codebook(hist_fn(d, v))
+
+                def batched(d, v):
+                    lens, cws = jax.vmap(tables_one)(d, v)
+                    # slot bucketing must switch on the BATCH max depth,
+                    # outside the vmap: a vmapped switch has a batched
+                    # predicate and XLA then executes every branch
+                    import jax.numpy as jnp
+
+                    ml = jnp.max(lens)
+                    case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
+
+                    def enc(slots):
+                        def branch(_):
+                            return jax.vmap(
+                                lambda di, vi, li, ci: encode_device_merge(
+                                    di, vi, li, ci, self.out_words, sub,
+                                    max_slots=slots,
+                                )
+                            )(d, v, lens, cws)
+                        return branch
+
+                    out = jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
                     return (lens,) + tuple(out)
-                fn = jax.jit(jax.vmap(one))
+
+                fn = jax.jit(batched)
             self._batched[key] = fn
         return fn
 

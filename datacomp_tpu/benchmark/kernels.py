@@ -436,24 +436,16 @@ def run_pipeline_batch_bench(
             hist_fn = histogram_pallas
 
     def batched(d, v):
-        """Mirrors TpuChunkCodec._batched_pipeline (device-codebook mode):
-        vmapped hist+codebook, then encode under a RUNTIME slot-bucket
-        switch on the batch-max codebook depth (scalar predicate outside
-        the vmap — a vmapped switch would execute every branch)."""
+        """The exact executable shape TpuChunkCodec._batched_pipeline
+        dispatches (device-codebook mode): vmapped hist+codebook, then the
+        SHARED runtime slot-bucket encode
+        (``ops.encode_device_merge_batch_slotted``)."""
+        from ..ops import encode_device_merge_batch_slotted
+
         lens, cws = jax.vmap(lambda di, vi: device_codebook(hist_fn(di, vi)))(d, v)
-        ml = jnp.max(lens)
-        case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
-
-        def enc(slots):
-            def branch(_):
-                return jax.vmap(
-                    lambda di, vi, li, ci: encode_device_merge(
-                        di, vi, li, ci, out_words, subblock, max_slots=slots
-                    )
-                )(d, v, lens, cws)
-            return branch
-
-        w, tb, _ = jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
+        w, tb, _ = encode_device_merge_batch_slotted(
+            d, v, lens, cws, out_words, subblock
+        )
         # DCE-proofing: consume the packed words (tb alone depends only on
         # the lengths plane + cumsum — XLA would drop the merge + scatter)
         chk = jnp.sum(w, dtype=jnp.uint32)

@@ -24,7 +24,13 @@ from .histogram import histogram_device, histogram_np
 from .histogram_pallas import histogram_pallas, pallas_available
 # NOTE: ops/encode_scan_oracle.py is a differential test oracle, deliberately
 # NOT exported — encode_device_merge is the one production encoder.
-from .encode_merge import code_bits_bucket, encode_device_merge, words_to_bytes
+from .encode_merge import (
+    code_bits_bucket,
+    encode_device_merge,
+    encode_device_merge_batch_slotted,
+    encode_device_merge_slotted,
+    words_to_bytes,
+)
 from .decode import (
     DEFAULT_REFILL_WORDS,
     TABLE_BITS,
@@ -44,6 +50,8 @@ __all__ = [
     "pallas_available",
     "code_bits_bucket",
     "encode_device_merge",
+    "encode_device_merge_batch_slotted",
+    "encode_device_merge_slotted",
     "words_to_bytes",
     "DEFAULT_REFILL_WORDS",
     "TABLE_BITS",

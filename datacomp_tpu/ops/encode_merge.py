@@ -10,8 +10,8 @@ lookup = 330 ms) while MXU matmuls are orders of magnitude cheaper, and the
 one unavoidable per-index op — the ownership scatter, slots/32 ≈ 0.38
 indices per byte at 10-bit codes — costs far less than the 1-per-byte a
 gather formulation would.  The scatter is the kernel's governing cost
-(~100% of the measured scatter floor; whole-kernel 61 ms / 16 MB = 275 MB/s
-on v5e at 10-bit codes, docs/BENCHMARKS.md round 3).  Hence:
+(59% of the measured unique-scatter floor; whole-kernel 61 ms / 16 MB =
+275 MB/s on v5e at 10-bit codes, docs/BENCHMARKS.md round 3).  Hence:
 
 * **table lookups as matmuls** — per-symbol (length, codeword) come from
   16×16 one-hot einsums over bit-split planes (1.1 ms / 16M symbols vs
@@ -253,14 +253,19 @@ def encode_device_merge(
         rel_u = jnp.clip(rel, 1, 31).astype(jnp.uint32)
         val = val | jnp.where((rel > 0) & (rel < 32), h_next >> rel_u, jnp.uint32(0))
         # unique-SET scatter with dead slots dropped out-of-bounds: word
-        # ownership is disjoint, so sending masked slots to out_words (and
-        # dropping them) makes every surviving index unique — measured
-        # 61 vs 79 ms/16 MB against the round-2 sorted scatter-ADD of
-        # zero-masked values (whose zero-adds collide, forbidding the
-        # unique flag).  indices_are_sorted stays OFF: the OOB sentinel
-        # breaks monotonicity and a sorted claim DROPS real writes
-        # (measured bit-exactness failure; A/B table in docs/BENCHMARKS.md).
-        tgt = jnp.where(j < count, v + j, jnp.int32(out_words))
+        # ownership is disjoint, and each dead slot gets its own OOB index
+        # (out_words + group) so the unique_indices contract holds for
+        # EVERY index, not just the surviving ones — XLA leaves duplicate
+        # indices under unique_indices implementation-defined even when
+        # they are dropped.  Measured 61 vs 79 ms/16 MB against the
+        # round-2 sorted scatter-ADD of zero-masked values (whose
+        # zero-adds collide, forbidding the unique flag).
+        # indices_are_sorted stays OFF: the OOB sentinels break
+        # monotonicity and a sorted claim DROPS real writes (measured
+        # bit-exactness failure; A/B table in docs/BENCHMARKS.md).
+        tgt = jnp.where(
+            j < count, v + j, jnp.int32(out_words) + jnp.arange(ng, dtype=jnp.int32)
+        )
         out = out.at[tgt].set(val, mode="drop", unique_indices=True)
 
     if subblock:
@@ -268,6 +273,54 @@ def encode_device_merge(
         gaps = gs[:: subblock // GROUP].astype(jnp.uint32)
         return out, total_bits, gaps
     return out, total_bits
+
+
+def _slot_case(lengths) -> jnp.ndarray:
+    """0/1/2 bucket index for a TRACED max code length: ≤8 → 10 slots,
+    ≤16 → 18, else 33 (mirrors the host paths' static ``ml + 2``
+    bucketing)."""
+    ml = jnp.max(lengths)
+    return (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
+
+
+def encode_device_merge_slotted(data, valid_len, lengths, codes,
+                                out_words: int, subblock: int = 0):
+    """:func:`encode_device_merge` with RUNTIME slot bucketing for callers
+    whose codebook depth is a traced value (it was computed on device, so
+    the static ``max_slots`` bucketing the host-table paths use is
+    unavailable — and paying the full 33-slot ownership scatter costs ~2x
+    on typical data; measured 130 → 82–86 ms/16 MB, docs/BENCHMARKS.md
+    round 3).  ``lax.switch`` compiles all three slot buckets into the
+    executable and runs exactly ONE at runtime."""
+    def enc(slots):
+        def branch(_):
+            return encode_device_merge(
+                data, valid_len, lengths, codes, out_words, subblock,
+                max_slots=slots,
+            )
+        return branch
+
+    return jax.lax.switch(_slot_case(lengths), [enc(10), enc(18), enc(33)], None)
+
+
+def encode_device_merge_batch_slotted(data, valid, lengths, codes,
+                                      out_words: int, subblock: int = 0):
+    """Vmapped :func:`encode_device_merge` over a chunk batch, with runtime
+    slot bucketing on the BATCH-max codebook depth.  The switch predicate
+    must be a scalar computed OUTSIDE the vmap — a vmapped switch has a
+    batched predicate and XLA then executes every branch.  One shared
+    implementation for the batched service pipeline, the sharded mesh step
+    and the device-side bench, so the bucket thresholds cannot diverge."""
+    def enc(slots):
+        def branch(_):
+            return jax.vmap(
+                lambda d, v, l, c: encode_device_merge(
+                    d, v, l, c, out_words, subblock, max_slots=slots
+                )
+            )(data, valid, lengths, codes)
+        return branch
+
+    return jax.lax.switch(_slot_case(lengths), [enc(10), enc(18), enc(33)], None)
 
 
 def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:

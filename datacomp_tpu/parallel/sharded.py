@@ -25,7 +25,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.codebook import device_codebook
-from ..ops.encode_merge import encode_device_merge
+from ..ops.encode_merge import (
+    encode_device_merge,
+    encode_device_merge_batch_slotted,
+)
 from ..ops.histogram import histogram_device
 from .mesh import BLOCKS_AXIS
 
@@ -41,26 +44,6 @@ def _chunk_pipeline(data, valid_len, out_words: int, subblock: int,
     return hist, lengths, codes, words, total_bits, gaps
 
 
-def _encode_batch_slotted(data, valid, lens, cws, out_words: int, subblock: int):
-    """Vmapped encode with RUNTIME slot bucketing on the batch-max codebook
-    depth.  The switch predicate must be a scalar computed OUTSIDE the vmap
-    (a vmapped switch has a batched predicate and XLA then executes every
-    branch); one branch runs at runtime, so typical ≤8-bit batches pay 10
-    ownership-scatter slots instead of 33 (measured ~2x on the fused
-    pipeline — docs/BENCHMARKS.md round 3)."""
-    ml = jnp.max(lens)
-    case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
-
-    def enc(slots):
-        def branch(_):
-            return jax.vmap(
-                lambda d, v, l, c: encode_device_merge(
-                    d, v, l, c, out_words, subblock, max_slots=slots
-                )
-            )(data, valid, lens, cws)
-        return branch
-
-    return jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
 
 
 def _mesh_histogram_fn(mesh: Mesh, histogram_backend: str = "pallas"):
@@ -103,7 +86,7 @@ def make_sharded_compress_step(
         hist, (lengths, codes) = jax.vmap(
             lambda d, v: ((h := hist_fn(d, v)), device_codebook(h))
         )(data, valid)
-        words, total_bits, gaps = _encode_batch_slotted(
+        words, total_bits, gaps = encode_device_merge_batch_slotted(
             data, valid, lengths, codes, out_words, subblock
         )
         comp_bytes = (total_bits + 7) // 8

@@ -287,7 +287,10 @@ class ChunkedPipeline:
                 todo = iter(
                     lambda: list(islice(idx_it, bs)), []
                 )  # consecutive index groups of size <= bs
-                window_jobs = max(1, -(-self.window // bs))
+                # floor division: the chunk bound is HARD — rounding the job
+                # count up would let batch codecs exceed it by up to bs-1
+                # chunks of buffered payloads
+                window_jobs = max(1, self.window // bs)
                 inflight = deque(
                     self._executor.submit(job, g) for g in islice(todo, window_jobs)
                 )

@@ -37,6 +37,8 @@ from ..ops import (
     decode_device,
     device_codebook,
     encode_device_merge,
+    encode_device_merge_batch_slotted,
+    encode_device_merge_slotted,
     histogram_device,
     max_code_len,
     payload_to_words,
@@ -207,35 +209,13 @@ class TpuChunkCodec(ChunkCodec):
                 return histogram_pallas
         return histogram_device
 
-    @staticmethod
-    def _encode_slot_switch(jax, data, valid_len, lengths, codes, out_words,
-                            subblock):
-        """Device-codebook encode with RUNTIME slot bucketing: the codebook
-        depth is a traced value here (it was computed on device), so the
-        static ``max_slots`` bucketing the host-table paths use is
-        unavailable — and paying the full 33-slot ownership scatter costs
-        2x on typical data (measured 130 vs ~65 ms/16 MB chunk, round 3).
-        ``lax.switch`` compiles all three slot buckets into the executable
-        and runs exactly ONE at runtime, picked by the on-device max code
-        length."""
-        import jax.numpy as jnp
-
-        ml = jnp.max(lengths)
-
-        def enc(slots):
-            def branch(_):
-                return encode_device_merge(
-                    data, valid_len, lengths, codes, out_words, subblock,
-                    max_slots=slots,
-                )
-            return branch
-
-        case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
-        return jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
-
     def _fused_pipeline(self):
         """Single jit for the device-codebook mode: histogram → codebook →
-        encode in ONE executable (one program load, no host round-trips)."""
+        encode in ONE executable (one program load, no host round-trips).
+        The encode runs under the runtime slot-bucket switch
+        (``ops.encode_device_merge_slotted``) — the codebook depth is a
+        traced value here, so static ``max_slots`` bucketing is unavailable
+        and the full 33-slot scatter would cost ~2x on typical data."""
         if self._fused is None:
             jax = _get_jax()
 
@@ -244,8 +224,8 @@ class TpuChunkCodec(ChunkCodec):
             def fused(data, valid_len):
                 hist = hist_fn(data, valid_len)
                 lengths, codes = device_codebook(hist)
-                words, total_bits, gaps = self._encode_slot_switch(
-                    jax, data, valid_len, lengths, codes, self.out_words,
+                words, total_bits, gaps = encode_device_merge_slotted(
+                    data, valid_len, lengths, codes, self.out_words,
                     self.subblock or self.config.compression.subblock_symbols,
                 )
                 return lengths, words, total_bits, gaps
@@ -378,14 +358,13 @@ class TpuChunkCodec(ChunkCodec):
             lengths_dev = codes_dev = None
 
         # bucketed static scatter-slot bound (maxlen+2), avoiding a recompile
-        # per distinct per-chunk max code length.  (code_bits plane packing
-        # not used: see the A/B in encode_merge.lookup_symbol_tables /
-        # docs/BENCHMARKS.md)
-        if mode == "device":
-            slots = 33
-        else:
-            ml = int(lengths.max()) if lengths.any() else 1
-            slots = next(b for b in (10, 18, 33) if b >= ml + 2)
+        # per distinct per-chunk max code length — the v1 device-codebook
+        # branch above fetched `lengths` to host, so BOTH modes can bucket
+        # statically here (paying 33 slots costs ~2x on typical data).
+        # (code_bits plane packing not used: see the A/B in
+        # encode_merge.lookup_symbol_tables / docs/BENCHMARKS.md)
+        ml = int(lengths.max()) if lengths.any() else 1
+        slots = next(b for b in (10, 18, 33) if b >= ml + 2)
         with metrics.timed(Stage.ENCODING, n):
             if lengths_dev is None:
                 # ONE upload call for data + both tables (the relay charges
@@ -450,30 +429,13 @@ class TpuChunkCodec(ChunkCodec):
             else:
                 hist_fn = self._histogram_fn()
 
-                def tables_one(d, v):
-                    return device_codebook(hist_fn(d, v))
-
                 def batched(d, v):
-                    lens, cws = jax.vmap(tables_one)(d, v)
-                    # slot bucketing must switch on the BATCH max depth,
-                    # outside the vmap: a vmapped switch has a batched
-                    # predicate and XLA then executes every branch
-                    import jax.numpy as jnp
-
-                    ml = jnp.max(lens)
-                    case = (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
-
-                    def enc(slots):
-                        def branch(_):
-                            return jax.vmap(
-                                lambda di, vi, li, ci: encode_device_merge(
-                                    di, vi, li, ci, self.out_words, sub,
-                                    max_slots=slots,
-                                )
-                            )(d, v, lens, cws)
-                        return branch
-
-                    out = jax.lax.switch(case, [enc(10), enc(18), enc(33)], None)
+                    lens, cws = jax.vmap(
+                        lambda di, vi: device_codebook(hist_fn(di, vi))
+                    )(d, v)
+                    out = encode_device_merge_batch_slotted(
+                        d, v, lens, cws, self.out_words, sub
+                    )
                     return (lens,) + tuple(out)
 
                 fn = jax.jit(batched)

@@ -27,6 +27,15 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 
+# Published bf16 MAC/s peaks per chip kind, for sanity-flagging inflated
+# calibrations (v5e: 197 bf16 TFLOP/s = 9.85e13 MAC/s; v4: 275 TFLOP/s).
+_CHIP_PEAK_MAC = {
+    "TPU v5e": 9.85e13,
+    "TPU v5 lite": 9.85e13,
+    "TPU v4": 1.375e14,
+}
+
+
 def _unfoldable_dep(total):
     """A 0/1 perturbation XLA cannot fold away (the compared value is a
     runtime int32 whose range the compiler cannot bound)."""
@@ -74,10 +83,19 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     svals = jax.device_put(rng.integers(0, 1 << 30, n, dtype=np.int32))
     sidx = jax.device_put(rng.permutation(n).astype(np.int32))
 
+    # DCE-proofing (round-4 advisor fix): every calibration chain must
+    # consume a FULL reduction of its result.  Returning one element
+    # (dot[0,0], r[0], out[0]+out[n-1]) lets XLA legally narrow
+    # slice-of-dot / slice-of-elementwise to a fraction of the work, and the
+    # slope then times loop overhead — round 3 shipped mac_per_s ~6x the
+    # v5e bf16 peak and vpu_elem_per_s ~2x plausible from exactly this hole.
+    # The reduction adds ~1 op per element per iteration (<= 4-5% of each
+    # chain's real work), so the measured floors are conservative by that
+    # margin — the safe direction for a bound.
     def scatter_once(ix):
         out = jnp.zeros(n, jnp.int32)
         out = out.at[ix].set(svals, mode="drop", unique_indices=True)
-        return out[0] + out[n - 1]
+        return jnp.sum(out, dtype=jnp.int32)
 
     _VPU_OPS = 24  # elementwise int32 ops per vpu_once call (8 rounds x 3)
 
@@ -85,20 +103,22 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
         r = x
         for _ in range(8):
             r = (r >> 1) ^ (r + 1)  # 3 dependent elementwise ops per round
-        return r[0]
+        return jnp.sum(r, dtype=jnp.int32)
 
     # bf16 operands: the kernels' one-hot contractions run at the bf16 MXU
-    # rate.  0/1-safe dependency: perturb one element, read one element.
+    # rate.  0/1-safe dependency: perturb one element; consume the whole
+    # output tile via a full f32 sum (see DCE note above).
     m = 1024
     a = jax.device_put(
         rng.standard_normal((m, m)).astype(np.float32).astype(jnp.bfloat16)
     )
 
     def matmul_once(x):
-        return jax.lax.dot_general(
+        dot = jax.lax.dot_general(
             x, x, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[0, 0].astype(jnp.int32)
+        )
+        return jnp.sum(dot, dtype=jnp.float32).astype(jnp.int32)
 
     def slope(fn, arg, int_dep, k_lo, k_hi):
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -142,7 +162,7 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     v_s = slope(vpu_once, table,
                 lambda x, t: x ^ _unfoldable_dep(t).astype(x.dtype),
                 vk_lo, vk_hi)
-    return {
+    out = {
         "gather_ns": g_s / n * 1e9,
         # per-INDEX cost of an 8-word row gather (the decode refill's shape;
         # near the 1-word per-index cost — the basis of refill_words=8)
@@ -152,6 +172,18 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
         "mac_per_s": (m * m * m) / m_s,
         "vpu_elem_per_s": (n * _VPU_OPS) / v_s,
     }
+    # Sanity against the chip's published peak: a calibration exceeding
+    # peak means the timed chain was narrowed (the round-3 failure mode) —
+    # surface it in the artifact instead of silently inflating rooflines.
+    peak = _CHIP_PEAK_MAC.get(jax.devices()[0].device_kind)
+    if peak:
+        out["mac_peak_frac"] = out["mac_per_s"] / peak
+        if out["mac_per_s"] > 1.1 * peak:
+            out["suspect"] = (
+                f"mac_per_s exceeds chip peak {peak:.3g} — timed chain was "
+                "likely narrowed; do not trust derived bounds"
+            )
+    return out
 
 
 #: analytic primitive counts per input byte for each kernel (see the op
@@ -375,16 +407,18 @@ def run_kernel_bench(
             gather_floor_s = gathers * gather_ns * 1e-9
             scatter_floor_s = scatters * prim.get("scatter_ns", 0.0) * 1e-9
             vpu_floor_s = vpu_ops / prim["vpu_elem_per_s"]
-            floor_s = max(mac_floor_s, gather_floor_s, scatter_floor_s,
-                          vpu_floor_s)
+            # explicit max over (value, name) pairs: a dict keyed by float
+            # values collapses exactly-tied floors and reports whichever
+            # entry landed last (round-3 advisor finding) — tuple max breaks
+            # ties deterministically (lexicographically by name)
+            floor_s, r_kind = max([
+                (mac_floor_s, "mxu-mac"), (gather_floor_s, "gather"),
+                (scatter_floor_s, "scatter"), (vpu_floor_s, "vpu-elem"),
+            ])
             bound = 1.0 / floor_s / 1e6  # MB/s
             r["bound_mbps"] = round(bound, 1)
             r["efficiency"] = round(r["mbps"] / bound, 3)
-            r["bound_kind"] = {
-                mac_floor_s: "mxu-mac", gather_floor_s: "gather",
-                scatter_floor_s: "scatter",
-                vpu_floor_s: "vpu-elem",
-            }[floor_s]
+            r["bound_kind"] = r_kind
         results["_primitives"] = {
             "gather_ns": round(prim["gather_ns"], 3),
             "gather_row8_ns": round(prim.get("gather_row8_ns", 0.0), 3),
@@ -392,6 +426,12 @@ def run_kernel_bench(
             "mac_per_s": round(prim["mac_per_s"], 1),
             "vpu_elem_per_s": round(prim["vpu_elem_per_s"], 1),
         }
+        if "mac_peak_frac" in prim:
+            results["_primitives"]["mac_peak_frac"] = round(
+                prim["mac_peak_frac"], 3
+            )
+        if "suspect" in prim:
+            results["_primitives"]["suspect"] = prim["suspect"]
     return results
 
 

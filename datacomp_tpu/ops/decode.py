@@ -170,10 +170,19 @@ def decode_device(
     W = refill_words
     assert subblock % k == 0, "symbols-per-step must divide the sub-block"
     assert W in (1, 2, 4, 8, 16), "refill-words must be 1, 2, 4, 8 or 16"
-    # the real budget, k * max_len <= 32 * W, cannot be checked here (max_len
-    # is not an argument) — it is enforced host-side by syms_per_refill /
-    # check_decompress_step_params before dispatch
-    assert 1 <= k <= 32, "invalid syms_per_step"
+    # CONTRACT (cannot be fully checked here — max_len is not an argument):
+    # k * max_code_len <= 32 * W, or the window under-refills and the output
+    # is silently corrupt.  Direct callers MUST derive k via
+    # syms_per_refill(max_len, subblock, refill_words) or validate with
+    # check_decompress_step_params; every public wrapper
+    # (TpuChunkCodec.decode_chunk*, sharded_decompress_arrays) does.  The
+    # max_len >= 1 projection of the budget is checkable and catches
+    # egregious misuse:
+    assert 1 <= k <= 32 * W, (
+        f"syms_per_step={k} exceeds the refill budget even for 1-bit codes "
+        f"(32*refill_words={32 * W}); derive it via syms_per_refill()"
+    )
+    assert k <= 32, "invalid syms_per_step"
     u32 = jnp.uint32
 
     # Pad the stream so row gathers stay in range: W-alignment + one spare

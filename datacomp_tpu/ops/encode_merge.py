@@ -242,6 +242,14 @@ def encode_device_merge(
     h_next = jnp.concatenate([gwords[0, 1:], jnp.zeros(1, jnp.uint32)])       # next group's head
 
     out = jnp.zeros(out_words, jnp.uint32)
+    # Dead-slot scatter sentinels must sit beyond ANY reachable live index,
+    # not just beyond out_words: if total_bits overflows out_words*32 (only
+    # caught host-side after the fact), live targets v+j can exceed
+    # out_words and would collide with sentinels placed at out_words+g,
+    # voiding the unique_indices contract mid-overflow.  Code lengths are
+    # <= 32 bits, so glen <= 1024 per group and v_next <= 32*ng + 1 — every
+    # live index is < 32*ng + 1 regardless of overflow.
+    oob_base = jnp.int32(max(out_words, 32 * ng + 1))
     for j in range(min(GROUP + 1, max_slots)):  # static loop over owned-word slots
         val = jnp.where(
             d > 0,
@@ -254,17 +262,18 @@ def encode_device_merge(
         val = val | jnp.where((rel > 0) & (rel < 32), h_next >> rel_u, jnp.uint32(0))
         # unique-SET scatter with dead slots dropped out-of-bounds: word
         # ownership is disjoint, and each dead slot gets its own OOB index
-        # (out_words + group) so the unique_indices contract holds for
-        # EVERY index, not just the surviving ones — XLA leaves duplicate
-        # indices under unique_indices implementation-defined even when
-        # they are dropped.  Measured 61 vs 79 ms/16 MB against the
-        # round-2 sorted scatter-ADD of zero-masked values (whose
-        # zero-adds collide, forbidding the unique flag).
+        # (oob_base + group, past every reachable live index — see above)
+        # so the unique_indices contract holds for EVERY index, not just
+        # the surviving ones — XLA leaves duplicate indices under
+        # unique_indices implementation-defined even when they are
+        # dropped.  Measured 61 vs 79 ms/16 MB against the round-2 sorted
+        # scatter-ADD of zero-masked values (whose zero-adds collide,
+        # forbidding the unique flag).
         # indices_are_sorted stays OFF: the OOB sentinels break
         # monotonicity and a sorted claim DROPS real writes (measured
         # bit-exactness failure; A/B table in docs/BENCHMARKS.md).
         tgt = jnp.where(
-            j < count, v + j, jnp.int32(out_words) + jnp.arange(ng, dtype=jnp.int32)
+            j < count, v + j, oob_base + jnp.arange(ng, dtype=jnp.int32)
         )
         out = out.at[tgt].set(val, mode="drop", unique_indices=True)
 

@@ -287,10 +287,14 @@ class ChunkedPipeline:
                 todo = iter(
                     lambda: list(islice(idx_it, bs)), []
                 )  # consecutive index groups of size <= bs
-                # floor division: the chunk bound is HARD — rounding the job
-                # count up would let batch codecs exceed it by up to bs-1
-                # chunks of buffered payloads
-                window_jobs = max(1, self.window // bs)
+                # floor division keeps the chunk bound tight, but batch
+                # codecs need >= 2 jobs in flight or the host prepass
+                # (sha256 + host histogram) never overlaps device encode
+                # and the sliding window degenerates to fully serial
+                # (round-3 advisor finding: window=4, bs=4 -> 1 job).  For
+                # bs > 1 the bound is therefore 2 batches (2*bs chunks) of
+                # buffered payloads — the price of overlap.
+                window_jobs = max(2 if bs > 1 else 1, self.window // bs)
                 inflight = deque(
                     self._executor.submit(job, g) for g in islice(todo, window_jobs)
                 )

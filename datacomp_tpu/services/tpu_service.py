@@ -781,6 +781,12 @@ class TpuCompressionService(CompressionService):
                 self._pipeline.compress: self._cpu_fallback._pipeline.compress,
                 self._pipeline.decompress: self._cpu_fallback._pipeline.decompress,
             }
+            # fresh StageMetrics for the retry: the partial TPU attempt's
+            # stage timings must not blend into the CPU run's breakdown
+            # (the stage cards — the reference's displayStageMetrics parity
+            # surface, ui/CompressController.java:491-521 — would otherwise
+            # show a TPU/CPU hybrid as one run)
+            self._stage_metrics = StageMetrics()
             cpu_ops[op](*args, progress, self._stage_metrics)
             backend = "CPU"
         return backend, time.perf_counter() - t0

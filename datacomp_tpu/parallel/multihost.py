@@ -137,21 +137,99 @@ def assemble_header(
     return h
 
 
-def compress_multihost(
-    input_path: str, output_path: str, config=None, backend: str = "cpu"
-) -> None:
-    """End-to-end multi-host compress: every participating process encodes
-    its round-robin chunk stripe, per-chunk metadata is all-gathered across
-    processes, offsets are derived identically everywhere, each host pwrites
-    its payloads at their global offsets, and process 0 appends the footer.
+def _encode_group_mesh(step, codec, cfg, datas, metrics, mesh_size: int):
+    """Encode up to ``mesh_size`` chunks in ONE sharded device program.
 
-    ``backend="tpu"`` encodes each host's stripe with its local device codec
-    (falling back per the TPU service's fallback chain); ``"cpu"`` uses the
-    native host codec.  Requires ``jax.distributed`` to be initialized when
-    running with more than one process (see :func:`initialize_distributed`);
-    single-process it produces output byte-identical to the
-    ChunkedPipeline's.  The input must be visible to every process (shared
-    filesystem), as on a TPU pod.
+    The host pre-pass (SHA-256, host histogram, raw-store routing) runs per
+    chunk exactly as the single-chip service's does
+    (``TpuChunkCodec._host_prepass``), so routing — and therefore output
+    bits — are identical to the single-host service; only compressible
+    chunks enter the mesh step.  Unused device slots are padded with
+    ``valid_len = 0`` chunks (a zero slot encodes to 0 bits).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import Stage
+    from ..ops import words_to_bytes
+    from ..services.pipeline import EncodedChunk
+
+    chunk_size = cfg.chunk_size_bytes
+    subblock = cfg.compression.subblock_symbols
+    out_words = (9 * chunk_size + 31) // 32 + 2  # make_sharded_compress_step's capacity
+    results: List[Optional[EncodedChunk]] = [None] * len(datas)
+    live = []
+    for i, d in enumerate(datas):
+        sha, _lens, _codes, finished = codec._host_prepass(d, metrics)
+        if finished is not None:
+            results[i] = finished
+        else:
+            live.append((i, d, d.size, sha))
+    if not live:
+        return results
+
+    batch = np.zeros((mesh_size, chunk_size), np.uint8)
+    valid = np.zeros(mesh_size, np.int32)
+    for j, (_i, d, n, _sha) in enumerate(live):
+        batch[j, :n] = d
+        valid[j] = n
+    total_n = int(valid.sum())
+    with metrics.timed(Stage.ENCODING, total_n):
+        (_hists, lengths, _codes, words, total_bits, gaps, _cb, _off) = step(
+            jnp.asarray(batch), jnp.asarray(valid)
+        )
+        # ONE small round trip for every chunk's control metadata, then one
+        # live-prefix fetch per chunk (the padded tail is up to 9x payload)
+        tbs, lens_all, gaps_all = (
+            np.asarray(a) for a in jax.device_get((total_bits, lengths, gaps))
+        )
+        for j, (i, d, n, sha) in enumerate(live):
+            tb = int(tbs[j])
+            if tb >= n * 8:
+                # device-side raw-store safety net, same as the single-chip
+                # fused path (host pre-pass normally decides pre-upload)
+                results[i] = EncodedChunk(
+                    d.tobytes(), np.zeros(256, np.int32), sha, None
+                )
+                continue
+            if tb > out_words * 32:
+                raise RuntimeError("encoded stream exceeded device word capacity")
+            nw = (tb + 31) // 32
+            payload = words_to_bytes(np.asarray(words[j, :nw]), tb)
+            nsub = (n + subblock - 1) // subblock
+            results[i] = EncodedChunk(
+                payload, lens_all[j].astype(np.int32), sha,
+                gaps_all[j, :nsub].astype(np.uint32),
+            )
+    return results
+
+
+def compress_multihost(
+    input_path: str, output_path: str, config=None, backend: str = "cpu",
+    mesh=None,
+) -> None:
+    """End-to-end multi-host AND multi-chip compress: every participating
+    process encodes its round-robin chunk stripe, per-chunk metadata is
+    all-gathered across processes, offsets are derived identically
+    everywhere, each host pwrites its payloads at their global offsets, and
+    process 0 appends the footer.
+
+    Within each process, the stripe itself is data-parallel over the local
+    chips: with ``backend="tpu"``, a ``mesh`` (e.g. ``make_mesh()`` over
+    ``jax.local_devices()``) and the device-codebook v2 config, groups of
+    ``mesh.size`` chunks run through ONE sharded device program
+    (:func:`datacomp_tpu.parallel.sharded.make_sharded_compress_step`:
+    histogram → on-device codebook → encode, sharded over the mesh axis) —
+    output bits identical to the single-host TPU service's.  Without a mesh
+    (or for host-codebook / v1 configs, which the mesh step does not
+    compile), the stripe runs through ``codec.encode_chunk_batch`` in
+    ``codec.batch_chunks`` groups — the dispatch-amortized single-device
+    path.  ``backend="cpu"`` uses the native host codec.
+
+    Requires ``jax.distributed`` to be initialized when running with more
+    than one process (see :func:`initialize_distributed`); single-process it
+    produces output byte-identical to the ChunkedPipeline's.  The input must
+    be visible to every process (shared filesystem), as on a TPU pod.
     """
     import jax
     from jax.experimental import multihost_utils
@@ -180,6 +258,25 @@ def compress_multihost(
         codec = TpuChunkCodec(cfg)
     else:
         codec = CpuChunkCodec(cfg)
+    use_mesh = (
+        backend == "tpu"
+        and mesh is not None
+        and mesh.size > 1
+        and cfg.compression.codebook_mode == "device"
+        and version >= ct.VERSION_V2
+    )
+    step = None
+    if use_mesh:
+        from .sharded import make_sharded_compress_step
+
+        step = make_sharded_compress_step(
+            mesh, chunk_size, subblock,
+            histogram_backend=cfg.device.histogram_backend,
+        )
+        group = mesh.size
+    else:
+        group = max(1, getattr(codec, "batch_chunks", 1))
+
     metrics = StageMetrics()
     payloads: List[bytes] = []
     sizes = np.zeros(L, np.int64)
@@ -189,20 +286,27 @@ def compress_multihost(
     ngaps = np.zeros(L, np.int32)
     gaps = np.zeros((L, max(G, 1)), np.uint32)
     with open(input_path, "rb") as f:
-        for k, ci in enumerate(local):
-            off = ci * chunk_size
-            n = min(chunk_size, file_size - off)
-            f.seek(off)
-            data = np.frombuffer(f.read(n), dtype=np.uint8)
-            enc = codec.encode_chunk(data, metrics)
-            payloads.append(bytes(enc.payload))
-            sizes[k] = len(enc.payload)
-            osz[k] = n
-            shas[k] = np.frombuffer(enc.sha256, np.uint8)
-            lens[k] = enc.code_lengths
-            if enc.gap_bits is not None:
-                ngaps[k] = enc.gap_bits.size
-                gaps[k, : enc.gap_bits.size] = enc.gap_bits
+        for g0 in range(0, len(local), group):
+            gidx = local[g0 : g0 + group]
+            datas = []
+            for ci in gidx:
+                off = ci * chunk_size
+                n = min(chunk_size, file_size - off)
+                f.seek(off)
+                datas.append(np.frombuffer(f.read(n), dtype=np.uint8))
+            if use_mesh:
+                encs = _encode_group_mesh(step, codec, cfg, datas, metrics, group)
+            else:
+                encs = codec.encode_chunk_batch(datas, metrics)
+            for k, enc in zip(range(g0, g0 + len(gidx)), encs):
+                payloads.append(bytes(enc.payload))
+                sizes[k] = len(enc.payload)
+                osz[k] = datas[k - g0].size
+                shas[k] = np.frombuffer(enc.sha256, np.uint8)
+                lens[k] = enc.code_lengths
+                if enc.gap_bits is not None:
+                    ngaps[k] = enc.gap_bits.size
+                    gaps[k, : enc.gap_bits.size] = enc.gap_bits
 
     # all-gather per-chunk metadata across processes (leading axis = host)
     if num_hosts > 1:

@@ -213,3 +213,45 @@ def test_compress_multihost_tpu_backend(tmp_path):
     compress_multihost(str(src), str(tmp_path / "cpu.dcz"), cfg, backend="cpu")
     compress_multihost(str(src), str(tmp_path / "tpu.dcz"), cfg, backend="tpu")
     assert (tmp_path / "tpu.dcz").read_bytes() == (tmp_path / "cpu.dcz").read_bytes()
+
+
+def test_compress_multihost_mesh_identical_to_single_host_service(tmp_path):
+    """The flagship multi-chip axis: a virtual 8-device mesh encodes the
+    stripe through ONE sharded device program per group
+    (make_sharded_compress_step), and the output file is byte-identical to
+    the single-host TPU service's — same raw-store routing (host pre-pass),
+    same device codebooks, same encoded bits, same container."""
+    from datacomp_tpu.config import load_config
+    from datacomp_tpu.parallel import make_mesh
+    from datacomp_tpu.parallel.multihost import compress_multihost
+    from datacomp_tpu.services.tpu_service import TpuCompressionService
+
+    src = tmp_path / "in.bin"
+    # 3 full chunks + ragged tail; one random chunk exercises raw-store
+    # routing around the mesh step
+    src.write_bytes(
+        generate_bytes("text", 1 << 20)
+        + generate_bytes("random", 1 << 20)
+        + generate_bytes("skewed", 1 << 20)
+        + generate_bytes("compressible", 12345)
+    )
+    cfg = load_config(
+        compression={
+            "chunk_size_mb": 1, "format_version": 2, "codebook_mode": "device",
+        }
+    )
+    ref = tmp_path / "single.dcz"
+    with TpuCompressionService(cfg) as svc:
+        svc.compress(str(src), str(ref))
+
+    mesh = make_mesh(8)
+    out = tmp_path / "mesh.dcz"
+    compress_multihost(str(src), str(out), cfg, backend="tpu", mesh=mesh)
+    assert out.read_bytes() == ref.read_bytes(), (
+        "mesh-sharded multihost output differs from the single-host service"
+    )
+
+    with CpuCompressionService(cfg) as svc:
+        assert svc.verify_integrity(str(out), deep=True)
+        svc.decompress(str(out), str(tmp_path / "restored.bin"))
+    assert (tmp_path / "restored.bin").read_bytes() == src.read_bytes()

@@ -90,6 +90,8 @@ def _report(op: str, in_path: str, out_path: str, seconds: float) -> None:
 
 
 def cmd_compress(args) -> int:
+    if getattr(args, "sharded", False):
+        return _cmd_compress_sharded(args)
     svc = _make_service(args)
     try:
         t0 = time.perf_counter()
@@ -106,6 +108,41 @@ def cmd_compress(args) -> int:
         return 0
     finally:
         svc.close()
+
+
+def _cmd_compress_sharded(args) -> int:
+    """Multi-chip compress: the stripe shards over a mesh of every local
+    device (the axis the reference never had; multi-process pods use
+    ``parallel.multihost`` directly with ``jax.distributed``)."""
+    import jax
+
+    from .parallel import make_mesh
+    from .parallel.multihost import compress_multihost
+
+    cfg = load_config(
+        compression={
+            "chunk_size_mb": args.chunk_mb, "format_version": 2,
+            "codebook_mode": "device",
+            "max_code_len": getattr(args, "max_code_len", 0),
+        }
+    )
+    ndev = len(jax.local_devices())
+    mesh = make_mesh(ndev) if ndev > 1 else None
+    if mesh is None:
+        print("note: one local device — sharded compress degrades to the "
+              "batched single-device path")
+    t0 = time.perf_counter()
+    compress_multihost(args.input, args.output, cfg, backend="tpu", mesh=mesh)
+    _report("Compression", args.input, args.output, time.perf_counter() - t0)
+    if not args.no_verify:
+        from .services.cpu_service import CpuCompressionService
+
+        with CpuCompressionService(cfg) as svc:
+            ok = svc.verify_integrity(args.output)
+        print(f"  Verify:     {'OK' if ok else 'FAILED'}")
+        if not ok:
+            return 1
+    return 0
 
 
 def cmd_decompress(args) -> int:
@@ -340,6 +377,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(0 = unlimited [v1 default]; 'auto' = shallowest cap "
                          "costing <0.5%% extra bits [v2 default]; <=16 keeps "
                          "v2 decode on-device)")
+    sp.add_argument("--sharded", action="store_true",
+                    help="shard chunk groups over ALL local devices via one "
+                         "sharded device program per group "
+                         "(compress_multihost over a local mesh; implies "
+                         "--backend tpu, --format 2, --codebook-mode device)")
     sp.add_argument("--codebook-mode", choices=["java", "fast", "device"],
                     default=None,
                     help="java = reference-bit-exact tie-breaks (default), "

@@ -186,7 +186,9 @@ def code_bits_bucket(max_len: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_words", "subblock", "max_slots", "code_bits")
+    jax.jit,
+    static_argnames=("out_words", "subblock", "max_slots", "code_bits",
+                     "fused_scatter"),
 )
 def encode_device_merge(
     data: jnp.ndarray,       # uint8[N], N % 32 == 0 (padded chunk)
@@ -197,6 +199,7 @@ def encode_device_merge(
     subblock: int = 0,       # if >0 (multiple of 32): also return gap bits
     max_slots: int = GROUP + 1,  # owned words per group ≤ max_code_len + 2
     code_bits: int = 0,      # static: code_bits_bucket(maxlen) for host tables
+    fused_scatter: bool = False,  # ONE scatter over all slots vs one per slot
 ):
     """Returns (words uint32[out_words], total_bits int32[, gaps]).
 
@@ -206,6 +209,12 @@ def encode_device_merge(
     ``min(33, maxlen + 2)`` to skip provably-empty scatter slots.
     ``code_bits`` stays 0 in production (plane packing measured a wash on
     v5e — the kernel is scatter-bound; see :func:`lookup_symbol_tables`).
+    ``fused_scatter`` concatenates every slot's (index, value) pair into ONE
+    unique-set scatter instead of ``max_slots`` chained ones — word
+    ownership already makes ALL live indices globally unique, and per-slot
+    sentinel ranges keep the dead ones unique too; bit-identical output
+    either way (A/B for the chained scatters' per-call output-buffer
+    materialization cost; see docs/BENCHMARKS.md round 4).
     """
     n = data.shape[0]
     assert n % GROUP == 0, "padded chunk size must be a multiple of 32"
@@ -250,6 +259,8 @@ def encode_device_merge(
     # <= 32 bits, so glen <= 1024 per group and v_next <= 32*ng + 1 — every
     # live index is < 32*ng + 1 regardless of overflow.
     oob_base = jnp.int32(max(out_words, 32 * ng + 1))
+    fused_tgts = []
+    fused_vals = []
     for j in range(min(GROUP + 1, max_slots)):  # static loop over owned-word slots
         val = jnp.where(
             d > 0,
@@ -272,10 +283,26 @@ def encode_device_merge(
         # indices_are_sorted stays OFF: the OOB sentinels break
         # monotonicity and a sorted claim DROPS real writes (measured
         # bit-exactness failure; A/B table in docs/BENCHMARKS.md).
-        tgt = jnp.where(
-            j < count, v + j, oob_base + jnp.arange(ng, dtype=jnp.int32)
+        if fused_scatter:
+            # per-slot sentinel range oob_base + j*ng keeps dead indices
+            # unique ACROSS slots; live indices are unique across slots by
+            # word ownership (group g's slots cover [v_g, v_{g+1}) disjointly)
+            tgt = jnp.where(
+                j < count,
+                v + j,
+                oob_base + jnp.int32(j * ng) + jnp.arange(ng, dtype=jnp.int32),
+            )
+            fused_tgts.append(tgt)
+            fused_vals.append(val)
+        else:
+            tgt = jnp.where(
+                j < count, v + j, oob_base + jnp.arange(ng, dtype=jnp.int32)
+            )
+            out = out.at[tgt].set(val, mode="drop", unique_indices=True)
+    if fused_scatter:
+        out = out.at[jnp.concatenate(fused_tgts)].set(
+            jnp.concatenate(fused_vals), mode="drop", unique_indices=True
         )
-        out = out.at[tgt].set(val, mode="drop", unique_indices=True)
 
     if subblock:
         assert subblock % GROUP == 0, "subblock must be a multiple of 32 symbols"

@@ -278,6 +278,34 @@ class TestEncodeMerge:
         )
         assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(data, lens, codes)
 
+    @pytest.mark.parametrize("kind", ["text", "random", "skewed"])
+    def test_fused_scatter_bit_exact(self, kind):
+        """fused_scatter=True places every slot's owned words with ONE
+        unique-set scatter; the stream must stay bit-identical to the host
+        encoder and to the chained-scatter formulation."""
+        from datacomp_tpu.ops import encode_device_merge
+
+        data = np.frombuffer(generate_bytes(kind, 30_000), np.uint8)
+        N = 32768
+        padded = np.zeros(N, np.uint8)
+        padded[: data.size] = data
+        lens, codes = build_codebook(np.bincount(data, minlength=256).astype(np.int64))
+        slots = min(33, int(lens.max()) + 2)
+        words, tb, gaps = encode_device_merge(
+            jnp.asarray(padded), jnp.int32(data.size), jnp.asarray(lens),
+            jnp.asarray(codes), N, 512, max_slots=slots, fused_scatter=True,
+        )
+        assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(
+            data, lens, codes
+        )
+        w2, tb2, g2 = encode_device_merge(
+            jnp.asarray(padded), jnp.int32(data.size), jnp.asarray(lens),
+            jnp.asarray(codes), N, 512, max_slots=slots,
+        )
+        assert int(tb) == int(tb2)
+        assert np.array_equal(np.asarray(gaps), np.asarray(g2))
+        assert np.array_equal(np.asarray(words), np.asarray(w2))
+
     def test_matmul_lookup_matches_gather(self, rng):
         from datacomp_tpu.ops.encode_merge import lookup_symbol_tables
 

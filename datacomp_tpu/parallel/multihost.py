@@ -160,7 +160,7 @@ def _encode_group_mesh(step, codec, cfg, datas, metrics, mesh_size: int):
     results: List[Optional[EncodedChunk]] = [None] * len(datas)
     live = []
     for i, d in enumerate(datas):
-        sha, _lens, _codes, finished = codec._host_prepass(d, metrics)
+        sha, _lens, _codes, _opt, finished = codec._host_prepass(d, metrics)
         if finished is not None:
             results[i] = finished
         else:

@@ -257,20 +257,29 @@ class TpuChunkCodec(ChunkCodec):
         the device.  On directly-attached chips this pre-pass is still
         ~7 ms against a 16 MB upload.
 
-        Returns ``(sha, lengths, codes, finished)``; ``finished`` is a
-        completed :class:`EncodedChunk` (empty input or raw store) that
-        skips the device entirely, else ``None``.
+        Returns ``(sha, lengths, codes, opt_bits, finished)``; ``finished``
+        is a completed :class:`EncodedChunk` (empty input or raw store) that
+        skips the device entirely, else ``None``.  ``opt_bits`` (None when
+        not computed) is the chunk's exact encoded bit count under an
+        optimal codebook — both the host ``fast`` builder and the device
+        codebook are true Huffman over the same histogram, so the device's
+        ``total_bits`` equals it; the encode paths use it to size the
+        payload prefix and fetch payload + metadata in ONE relay round trip
+        (each blocking fetch costs a full ~30 ms relay latency).
         """
         n = data.size
         with metrics.timed(Stage.CHECKSUM_COMPUTE, n):
             sha = compute_sha256(data)  # hashlib takes the buffer, no copy
         if n == 0:
-            return sha, None, None, EncodedChunk(b"", np.zeros(256, np.int32), sha, None)
+            return sha, None, None, None, EncodedChunk(
+                b"", np.zeros(256, np.int32), sha, None
+            )
 
         mode = self.config.compression.codebook_mode
         v2 = self.config.compression.format_version >= 2
         hist = None
         lengths = codes = None
+        opt_bits = None
         if v2 or mode != "device":
             with metrics.timed(Stage.FREQUENCY_ANALYSIS, n):
                 hist = self._cpu.freq.compute_histogram(data)
@@ -280,7 +289,12 @@ class TpuChunkCodec(ChunkCodec):
                     hist, mode=mode,
                     max_len=self.config.compression.effective_max_code_len(),
                 )
-        if v2:
+        if hist is not None:
+            # exact bit count under the codebook the device will use: the
+            # host tables themselves, or (device mode) an optimal-Huffman
+            # equal.  "fast"-mode lengths are true Huffman, as is the
+            # device codebook (ops/codebook.py) — equal total bits by
+            # optimality even where tie-breaks differ.
             opt_bits = (
                 int(hist @ lengths.astype(np.int64))
                 if lengths is not None
@@ -289,14 +303,14 @@ class TpuChunkCodec(ChunkCodec):
                     @ huffman.build_code_lengths(hist, mode="fast").astype(np.int64)
                 )
             )
-            if opt_bits >= n * 8:
-                # incompressible: store raw (v2 marker: all-zero lengths)
-                # without a single relay byte
-                finished = EncodedChunk(
-                    data.tobytes(), np.zeros(256, np.int32), sha, None
-                )
-                return sha, lengths, codes, finished
-        return sha, lengths, codes, None
+        if v2 and opt_bits is not None and opt_bits >= n * 8:
+            # incompressible: store raw (v2 marker: all-zero lengths)
+            # without a single relay byte
+            finished = EncodedChunk(
+                data.tobytes(), np.zeros(256, np.int32), sha, None
+            )
+            return sha, lengths, codes, opt_bits, finished
+        return sha, lengths, codes, opt_bits, None
 
     def _encode_chunk(self, data: np.ndarray, metrics: StageMetrics) -> EncodedChunk:
         jax = _get_jax()
@@ -306,7 +320,7 @@ class TpuChunkCodec(ChunkCodec):
         mode = self.config.compression.codebook_mode
         v2 = self.config.compression.format_version >= 2
 
-        sha, lengths, codes, finished = self._host_prepass(data, metrics)
+        sha, lengths, codes, opt_bits, finished = self._host_prepass(data, metrics)
         if finished is not None:
             return finished
 
@@ -323,11 +337,17 @@ class TpuChunkCodec(ChunkCodec):
                 lengths_dev, words, total_bits, gaps = self._fused_pipeline()(
                     x, jnp.int32(n)
                 )
-                # ONE small round trip for all control metadata (each
-                # np.asarray costs a full relay latency), then one big
-                # live-prefix fetch
-                tb, lengths, gaps_h = jax.device_get(
-                    (total_bits, lengths_dev, gaps)
+                # ONE round trip for metadata AND the payload prefix: the
+                # prepass's opt_bits equals the device's total_bits (both
+                # codebooks are optimal Huffman over the same histogram),
+                # so the live word count is known before any fetch.  Each
+                # extra blocking fetch costs a full relay latency, and the
+                # relay serializes transfers process-wide (round-4 probe:
+                # 2-thread overlap 1.01-1.14x), so saved round trips come
+                # straight off the critical path.
+                nw_ub = min((opt_bits + 31) // 32 + 1, self.out_words)
+                tb, lengths, gaps_h, words_h = jax.device_get(
+                    (total_bits, lengths_dev, gaps, words[:nw_ub])
                 )
                 tb = int(tb)
                 if tb >= n * 8:
@@ -336,7 +356,10 @@ class TpuChunkCodec(ChunkCodec):
                 if tb > self.out_words * 32:
                     raise RuntimeError("encoded stream exceeded device word capacity")
                 nw = (tb + 31) // 32
-                payload = words_to_bytes(np.asarray(words[:nw]), tb)
+                if nw <= nw_ub:
+                    payload = words_to_bytes(np.asarray(words_h)[:nw], tb)
+                else:  # defensive: codebook totals diverged; fetch exact
+                    payload = words_to_bytes(np.asarray(words[:nw]), tb)
                 lengths = np.asarray(lengths).astype(np.int32)
                 nsub = (n + self.subblock - 1) // self.subblock
                 gap_bits = np.asarray(gaps_h)[:nsub].astype(np.uint32)
@@ -373,16 +396,28 @@ class TpuChunkCodec(ChunkCodec):
                 x, lengths_dev, codes_dev = jax.device_put(
                     (padded, lengths, codes.astype(np.uint32)), dev
                 )
+            # host-table paths know the exact bit count pre-dispatch
+            # (opt_bits = hist @ the very lengths the device encodes with),
+            # so metadata and the payload prefix ride ONE device_get; the
+            # v1 device-codebook path (opt_bits None) keeps the 2-fetch flow
+            nw_ub = (
+                min((opt_bits + 31) // 32 + 1, self.out_words)
+                if opt_bits is not None else None
+            )
             if v2:
                 words, total_bits, gaps = encode_device_merge(
                     x, jnp.int32(n), lengths_dev, codes_dev,
                     self.out_words, self.subblock, max_slots=slots,
                 )
-                # one small round trip for all control metadata (each fetch
-                # pays a full relay latency)
-                tb, gaps_h = jax.device_get((total_bits, gaps))
-                tb = int(tb)
                 nsub = (n + self.subblock - 1) // self.subblock
+                if nw_ub is not None:
+                    tb, gaps_h, words_h = jax.device_get(
+                        (total_bits, gaps, words[:nw_ub])
+                    )
+                else:
+                    tb, gaps_h = jax.device_get((total_bits, gaps))
+                    words_h = None
+                tb = int(tb)
                 gap_bits = np.asarray(gaps_h)[:nsub].astype(np.uint32)
             else:
                 words, total_bits = encode_device_merge(
@@ -390,7 +425,11 @@ class TpuChunkCodec(ChunkCodec):
                     max_slots=slots,
                 )
                 gap_bits = None
-                tb = int(total_bits)
+                if nw_ub is not None:
+                    tb, words_h = jax.device_get((total_bits, words[:nw_ub]))
+                else:
+                    tb, words_h = total_bits, None
+                tb = int(tb)
             if v2 and tb >= n * 8:
                 # incompressible: store raw (v2 marker: all-zero lengths) —
                 # normally decided host-side before any upload; kept as a
@@ -402,7 +441,10 @@ class TpuChunkCodec(ChunkCodec):
             # (host-device links are the scarce resource; the padded tail is
             # up to 9x the payload)
             nw = (tb + 31) // 32
-            payload = words_to_bytes(np.asarray(words[:nw]), tb)
+            if words_h is not None and nw <= len(words_h):
+                payload = words_to_bytes(np.asarray(words_h)[:nw], tb)
+            else:
+                payload = words_to_bytes(np.asarray(words[:nw]), tb)
         return EncodedChunk(payload, lengths.astype(np.int32), sha, gap_bits)
 
     # -- batched encode -------------------------------------------------------
@@ -449,13 +491,17 @@ class TpuChunkCodec(ChunkCodec):
         mode = self.config.compression.codebook_mode
         v2 = self.config.compression.format_version >= 2
         results: list = [None] * len(datas)
-        slots_dev = []  # (result index, data, n, sha, lengths, codes)
+        slots_dev = []  # (result index, data, n, sha, lengths, codes, opt_bits)
         for i, data in enumerate(datas):
-            sha, lengths, codes, finished = self._host_prepass(data, metrics)
+            sha, lengths, codes, opt_bits, finished = self._host_prepass(
+                data, metrics
+            )
             if finished is not None:
                 results[i] = finished
             else:
-                slots_dev.append((i, data, data.size, sha, lengths, codes))
+                slots_dev.append(
+                    (i, data, data.size, sha, lengths, codes, opt_bits)
+                )
         if not slots_dev:
             return results
         assert len(slots_dev) <= Bs, "pipeline grouped more chunks than batch_chunks"
@@ -466,14 +512,14 @@ class TpuChunkCodec(ChunkCodec):
         # groups) — a zero slot encodes to 0 bits, wasting only its compute
         batch = np.zeros((Bs, self.padded_size), dtype=np.uint8)
         valid = np.zeros(Bs, dtype=np.int32)
-        for j, (_, data, n, _, _, _) in enumerate(slots_dev):
+        for j, (_, data, n, _, _, _, _) in enumerate(slots_dev):
             batch[j, :n] = data
             valid[j] = n
         host_tables = mode != "device"
         if host_tables:
             lens_h = np.zeros((Bs, 256), dtype=np.int32)
             codes_h = np.zeros((Bs, 256), dtype=np.uint32)
-            for j, (_, _, _, _, lengths, codes) in enumerate(slots_dev):
+            for j, (_, _, _, _, lengths, codes, _) in enumerate(slots_dev):
                 lens_h[j] = lengths
                 codes_h[j] = codes.astype(np.uint32)
             ml = int(lens_h.max()) if lens_h.any() else 1
@@ -522,20 +568,37 @@ class TpuChunkCodec(ChunkCodec):
                 else:
                     lens_dev, words, total_bits = out
                     gaps = None
-            # ONE small round trip for every chunk's control metadata
+            # ONE round trip for every chunk's control metadata AND payload
+            # prefixes: each chunk's exact bit count is known host-side
+            # (opt_bits — see _host_prepass), so its live word prefix rides
+            # the same device_get instead of a per-chunk blocking fetch
             fetch = [total_bits]
             if lens_dev is not None:
                 fetch.append(lens_dev)
             if gaps is not None:
                 fetch.append(gaps)
+            nmeta = len(fetch)
+            ubs = []
+            for (_i, _d, _n, _s, _l, _c, opt_bits) in slots_dev:
+                ubs.append(
+                    min((opt_bits + 31) // 32 + 1, self.out_words)
+                    if opt_bits is not None else None
+                )
+            for j, ub in enumerate(ubs):
+                if ub is not None:
+                    fetch.append(words[j, :ub])
             fetched = jax.device_get(tuple(fetch))
             tbs = np.asarray(fetched[0])
             lens_all = (
                 np.asarray(fetched[1]) if lens_dev is not None else lens_h
             )
-            gaps_all = np.asarray(fetched[-1]) if gaps is not None else None
+            gaps_all = (
+                np.asarray(fetched[nmeta - 1]) if gaps is not None else None
+            )
+            prefixes = iter(fetched[nmeta:])
+            words_pre = [next(prefixes) if ub is not None else None for ub in ubs]
 
-            for j, (i, data, n, sha, _, _) in enumerate(slots_dev):
+            for j, (i, data, n, sha, _, _, _) in enumerate(slots_dev):
                 tb = int(tbs[j])
                 if v2 and tb >= n * 8:
                     # safety net (normally decided host-side pre-upload)
@@ -546,8 +609,11 @@ class TpuChunkCodec(ChunkCodec):
                 if tb > self.out_words * 32:
                     raise RuntimeError("encoded stream exceeded device word capacity")
                 nw = (tb + 31) // 32
-                # D2H only this chunk's live prefix
-                payload = words_to_bytes(np.asarray(words[j, :nw]), tb)
+                if words_pre[j] is not None and nw <= len(words_pre[j]):
+                    payload = words_to_bytes(np.asarray(words_pre[j])[:nw], tb)
+                else:
+                    # defensive: estimate diverged; fetch this chunk exact
+                    payload = words_to_bytes(np.asarray(words[j, :nw]), tb)
                 gap_bits = None
                 if gaps_all is not None:
                     nsub = (n + self.subblock - 1) // self.subblock

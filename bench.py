@@ -188,10 +188,17 @@ def main() -> int:
                 try:
                     from datacomp_tpu.services.tpu_service import TpuCompressionService
 
+                    # codebook_mode="fast": host tables, whose build cost the
+                    # host prepass already pays for opt_bits — measured the
+                    # fastest service config through the round-4 serialized
+                    # relay (31-33 MB/s vs 27-30 for the device-codebook
+                    # fused variants, tools/ab_service_variants_r4.py);
+                    # "device" keeps the codebook on-chip and is the pick
+                    # for directly-attached devices
                     cfg = load_config(
                         compression={
                             "chunk_size_mb": chunk_mb, "format_version": 2,
-                            "codebook_mode": "device",
+                            "codebook_mode": "fast",
                         },
                     )
                     svc = TpuCompressionService(cfg)
@@ -231,7 +238,14 @@ def main() -> int:
         # transfer-bound ceiling on THIS rig's relay (in-window rates when
         # the probe succeeded): the mixed corpus is 1/4 random, which the
         # host entropy pre-check stores raw with zero relay traffic; the
-        # rest rides the half-duplex link
+        # rest rides the half-duplex link.  NOTE the regime caveat: the
+        # round-2 relay overlapped device exec + dispatch latency under
+        # other streams' transfers (service reached 94-96% of this
+        # transfer-only ceiling); the round-4 relay serializes EVERY
+        # per-process op (workers 1/2/3 indistinguishable, transfer overlap
+        # 1.01-1.14x), so ~3 op latencies + the encode exec per chunk are
+        # unhideable and the reachable fraction of the transfer-only
+        # ceiling is ~0.8 (docs/BENCHMARKS.md round 4).
         ceiling = relay_ceiling_mbps(
             measured["tpu"]["ratio"], raw_frac=0.25,
             h2d=relay and relay["h2d_mbps"], d2h=relay and relay["d2h_mbps"],
@@ -239,6 +253,17 @@ def main() -> int:
         extra["tpu_relay_ceiling_mbps"] = round(ceiling, 1)
         extra["tpu_ceiling_source"] = "probed" if relay else "fallback-const"
         extra["tpu_vs_ceiling"] = round(measured["tpu"]["compress_mbps"] / ceiling, 2)
+        if relay:
+            # serialized-regime composite ceiling: transfers + the measured
+            # per-chunk unhideable cost (exec ~65 ms + 3 relay round trips)
+            lat_s = relay["latency_ms"] / 1e3
+            live_mb = (1.0 - 0.25) * size_mb
+            chunks_live = max(round(live_mb / chunk_mb), 1)
+            serial_s = size_mb / ceiling + chunks_live * (0.065 + 3 * lat_s)
+            extra["tpu_serialized_ceiling_mbps"] = round(size_mb / serial_s, 1)
+            extra["tpu_vs_serialized_ceiling"] = round(
+                measured["tpu"]["compress_mbps"] * serial_s / size_mb, 2
+            )
     out_json = json.dumps(
         {
             "metric": "end_to_end_compress_throughput",

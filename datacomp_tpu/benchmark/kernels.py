@@ -120,6 +120,22 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
         )
         return jnp.sum(dot, dtype=jnp.float32).astype(jnp.int32)
 
+    # f32-operand MXU rate: the Pallas histogram's stacked contraction runs
+    # f32 one-hots (bf16 measured +20% from relayouts, see
+    # ops/histogram_pallas.py) — charging its MAC floor at the bf16 rate
+    # would overstate the bound by the f32/bf16 rate ratio
+    af = jax.device_put(rng.standard_normal((m, m)).astype(np.float32))
+
+    def matmul_f32_once(x):
+        # default precision, mirroring the Pallas kernel's own dot_general
+        # (no precision arg): whatever the compiler does with f32 operands
+        # under default precision IS the rate the kernel's dot can reach
+        dot = jax.lax.dot_general(
+            x, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(dot, dtype=jnp.float32).astype(jnp.int32)
+
     def slope(fn, arg, int_dep, k_lo, k_hi):
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(x, k):
@@ -156,6 +172,9 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
     m_s = slope(matmul_once, a,
                 lambda x, t: x.at[0, 0].add(_unfoldable_dep(t).astype(x.dtype)),
                 mk_lo, mk_hi)
+    mf_s = slope(matmul_f32_once, af,
+                 lambda x, t: x.at[0, 0].add(_unfoldable_dep(t).astype(x.dtype)),
+                 mk_lo, mk_hi)
     # ~20 µs/iteration on TPU: the chain needs hundreds of iterations for
     # the slope to clear relay jitter (~1-2 ms); CPU is ~50 ms/iteration
     vk_lo, vk_hi = (2, 6) if on_cpu else (2, 514)
@@ -170,6 +189,7 @@ def calibrate_primitives(repeats: int = 3) -> Dict[str, float]:
         # per-INDEX cost of a unique-set scatter (encode's ownership writes)
         "scatter_ns": sc_s / n * 1e9,
         "mac_per_s": (m * m * m) / m_s,
+        "mac_f32_per_s": (m * m * m) / mf_s,
         "vpu_elem_per_s": (n * _VPU_OPS) / v_s,
     }
     # Sanity against the chip's published peak: a calibration exceeding
@@ -211,11 +231,16 @@ _KERNEL_COSTS = {
     # one (n,16)^T @ (n,16) contraction → 256 MACs/byte on the MXU
     "histogram": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0,
                   "mxu_util": 1 / 64, "vpu_ops_per_byte": 66.0},
-    # packed-8 pallas kernel: same 256 useful MACs/byte but full (128,128)
-    # output tiles → 8x the effective MXU rate; the VPU one-hot build is
-    # what actually binds (see ops/histogram_pallas.py)
+    # packed-8 pallas kernel: 256 useful MACs/byte in full (128,128) output
+    # tiles, but only the slot-diagonal 1/8 of each tile is useful → the MXU
+    # spins 2048 MACs/byte, at the F32-operand dot rate (the one-hots are
+    # f32 — see ops/histogram_pallas.py; ``mac_dtype`` selects the matching
+    # calibrated rate).  Round-3's "21% of the VPU bound" label came from
+    # DCE-inflated primitive rates (the calibration consumed one output
+    # element); with honest rates the MXU term is expected to bind.
     "histogram-pallas": {"macs_per_byte": 256.0, "gathers_per_byte": 0.0,
-                         "mxu_util": 1 / 8, "vpu_ops_per_byte": 112.0},
+                         "mxu_util": 1 / 8, "vpu_ops_per_byte": 112.0,
+                         "mac_dtype": "f32"},
     # 5 bit-plane one-hot einsums ("nh,hl,nl->n"): (256 + 16) MACs each,
     # plus the GOVERNING term (round-3 finding, after the DCE-proofing fix
     # below): the ownership scatter, slots = min(33, maxlen+2) unique-set
@@ -401,8 +426,13 @@ def run_kernel_bench(
             scatters = cost.get("scatters_per_byte", 0.0)
             if scatters is None:  # encode: slots ownership writes per group
                 scatters = min(33, maxlen + 2) / 32.0
+            mac_rate = (
+                prim.get("mac_f32_per_s", prim["mac_per_s"])
+                if cost.get("mac_dtype") == "f32"
+                else prim["mac_per_s"]
+            )
             mac_floor_s = cost["macs_per_byte"] / (
-                prim["mac_per_s"] * cost.get("mxu_util", 1.0)
+                mac_rate * cost.get("mxu_util", 1.0)
             )  # s/byte
             gather_floor_s = gathers * gather_ns * 1e-9
             scatter_floor_s = scatters * prim.get("scatter_ns", 0.0) * 1e-9
@@ -424,6 +454,7 @@ def run_kernel_bench(
             "gather_row8_ns": round(prim.get("gather_row8_ns", 0.0), 3),
             "scatter_ns": round(prim.get("scatter_ns", 0.0), 3),
             "mac_per_s": round(prim["mac_per_s"], 1),
+            "mac_f32_per_s": round(prim.get("mac_f32_per_s", 0.0), 1),
             "vpu_elem_per_s": round(prim["vpu_elem_per_s"], 1),
         }
         if "mac_peak_frac" in prim:

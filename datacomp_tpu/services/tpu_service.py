@@ -157,6 +157,17 @@ class TpuChunkCodec(ChunkCodec):
         # that built the code is ≤ H+1 ≤ 9 bits/byte, so 9n/32 words suffice;
         # a host-side guard below re-raises (→ CPU fallback) if ever exceeded.
         self.out_words = (9 * self.padded_size + 31) // 32 + 2
+        # Payload-prefix fetches slice the device words array to the chunk's
+        # live size — but a DISTINCT slice width is a distinct executable
+        # (compile + program load, seconds-to-minutes through the relay's
+        # remote compile service on first sight).  Real-world chunks almost
+        # always differ in encoded size, so exact widths would pay that cost
+        # per chunk; rounding the width up to 32K-word (128 KB) buckets
+        # caps the executable count at out_words/2^15 (~144 for 16 MB
+        # chunks) while costing at most 128 KB (~2 ms at relay rates) of
+        # extra D2H per chunk.  The same trick already shapes the decode
+        # path's input padding (_device_decode_plan).
+        self.fetch_bucket_words = 1 << 15
         # The first execution of each device program pays a one-time load
         # (expensive through remote-attached TPUs); serialize it so worker
         # threads don't contend on concurrent first-runs.
@@ -169,6 +180,14 @@ class TpuChunkCodec(ChunkCodec):
         self._batched_dec = {}  # (Bs, padded, nsub, s, sps, cmp) -> jitted vmap
         self._batch_dec_warm = set()
 
+    def _fetch_words_ub(self, opt_bits: int) -> int:
+        """Bucketed upper-bound word count for a single-round-trip payload
+        fetch: exact live size from ``opt_bits``, rounded up to the fetch
+        bucket so slice executables are reused across chunks."""
+        nw = (opt_bits + 31) // 32 + 1
+        b = self.fetch_bucket_words
+        return min(-(-nw // b) * b, self.out_words)
+
     @property
     def batch_chunks(self) -> int:
         """Chunks per device program (the pipeline groups jobs by this).
@@ -180,11 +199,14 @@ class TpuChunkCodec(ChunkCodec):
         device-side A/B in docs/BENCHMARKS.md) — and 1 on CPU platforms
         (the XLA:CPU program would serialize chunks the worker threads
         already parallelize) AND on relay-attached devices (platform
-        ``axon``): a transfer-bound half-duplex link rewards many small
-        overlapping chunk streams over dispatch amortization — measured
-        end-to-end 46–47 MB/s per-chunk vs 29 MB/s batched on this rig's
-        relay, while on-device dispatch overhead (the thing batching
-        removes) is invisible behind the link latency."""
+        ``axon``).  Round-2's relay overlapped worker streams (per-chunk
+        measured 46–47 MB/s vs 29 batched); the round-4 relay serializes
+        every per-process op (workers 1/2/3 indistinguishable), and
+        per-chunk STILL wins — the static batch pads dead slots to full
+        chunk rows, so a raw-store-thinned group uploads zero rows the
+        per-chunk path never sends (measured 32.9 per-chunk vs 26.2
+        batched on the same 64 MB mixed corpus; tools/
+        ab_service_variants_r4.py, docs/BENCHMARKS.md round 4)."""
         b = self.config.device.batch_chunks
         if b != 0:
             return b
@@ -345,7 +367,7 @@ class TpuChunkCodec(ChunkCodec):
                 # relay serializes transfers process-wide (round-4 probe:
                 # 2-thread overlap 1.01-1.14x), so saved round trips come
                 # straight off the critical path.
-                nw_ub = min((opt_bits + 31) // 32 + 1, self.out_words)
+                nw_ub = self._fetch_words_ub(opt_bits)
                 tb, lengths, gaps_h, words_h = jax.device_get(
                     (total_bits, lengths_dev, gaps, words[:nw_ub])
                 )
@@ -358,8 +380,9 @@ class TpuChunkCodec(ChunkCodec):
                 nw = (tb + 31) // 32
                 if nw <= nw_ub:
                     payload = words_to_bytes(np.asarray(words_h)[:nw], tb)
-                else:  # defensive: codebook totals diverged; fetch exact
-                    payload = words_to_bytes(np.asarray(words[:nw]), tb)
+                else:  # defensive: codebook totals diverged; refetch bucketed
+                    nw_b = self._fetch_words_ub(tb)
+                    payload = words_to_bytes(np.asarray(words[:nw_b])[:nw], tb)
                 lengths = np.asarray(lengths).astype(np.int32)
                 nsub = (n + self.subblock - 1) // self.subblock
                 gap_bits = np.asarray(gaps_h)[:nsub].astype(np.uint32)
@@ -401,7 +424,7 @@ class TpuChunkCodec(ChunkCodec):
             # so metadata and the payload prefix ride ONE device_get; the
             # v1 device-codebook path (opt_bits None) keeps the 2-fetch flow
             nw_ub = (
-                min((opt_bits + 31) // 32 + 1, self.out_words)
+                self._fetch_words_ub(opt_bits)
                 if opt_bits is not None else None
             )
             if v2:
@@ -439,12 +462,15 @@ class TpuChunkCodec(ChunkCodec):
                 raise RuntimeError("encoded stream exceeded device word capacity")
             # D2H only the live prefix: device-slice to ceil(bits/32) words
             # (host-device links are the scarce resource; the padded tail is
-            # up to 9x the payload)
+            # up to 9x the payload).  The no-opt_bits fallback slices at the
+            # BUCKETED width so the slice executable is reused across chunks
+            # (see fetch_bucket_words).
             nw = (tb + 31) // 32
             if words_h is not None and nw <= len(words_h):
                 payload = words_to_bytes(np.asarray(words_h)[:nw], tb)
             else:
-                payload = words_to_bytes(np.asarray(words[:nw]), tb)
+                nw_b = self._fetch_words_ub(tb)
+                payload = words_to_bytes(np.asarray(words[:nw_b])[:nw], tb)
         return EncodedChunk(payload, lengths.astype(np.int32), sha, gap_bits)
 
     # -- batched encode -------------------------------------------------------
@@ -581,7 +607,7 @@ class TpuChunkCodec(ChunkCodec):
             ubs = []
             for (_i, _d, _n, _s, _l, _c, opt_bits) in slots_dev:
                 ubs.append(
-                    min((opt_bits + 31) // 32 + 1, self.out_words)
+                    self._fetch_words_ub(opt_bits)
                     if opt_bits is not None else None
                 )
             for j, ub in enumerate(ubs):
@@ -612,8 +638,11 @@ class TpuChunkCodec(ChunkCodec):
                 if words_pre[j] is not None and nw <= len(words_pre[j]):
                     payload = words_to_bytes(np.asarray(words_pre[j])[:nw], tb)
                 else:
-                    # defensive: estimate diverged; fetch this chunk exact
-                    payload = words_to_bytes(np.asarray(words[j, :nw]), tb)
+                    # defensive: estimate diverged; refetch at bucketed width
+                    nw_b = self._fetch_words_ub(tb)
+                    payload = words_to_bytes(
+                        np.asarray(words[j, :nw_b])[:nw], tb
+                    )
                 gap_bits = None
                 if gaps_all is not None:
                     nsub = (n + self.subblock - 1) // self.subblock

@@ -10,8 +10,10 @@ lookup = 330 ms) while MXU matmuls are orders of magnitude cheaper, and the
 one unavoidable per-index op — the ownership scatter, slots/32 ≈ 0.38
 indices per byte at 10-bit codes — costs far less than the 1-per-byte a
 gather formulation would.  The scatter is the kernel's governing cost
-(59% of the measured unique-scatter floor; whole-kernel 61 ms / 16 MB =
-275 MB/s on v5e at 10-bit codes, docs/BENCHMARKS.md round 3).  Hence:
+(whole-kernel 61 ms / 16 MB = 275 MB/s on v5e at 10-bit codes; the kernel
+sits ON its composite floor — scatter 35.4 ms + the serialized merge/
+splice remainder ~26 ms; round-4 A/B decomposition in
+docs/BENCHMARKS.md).  Hence:
 
 * **table lookups as matmuls** — per-symbol (length, codeword) come from
   16×16 one-hot einsums over bit-split planes (1.1 ms / 16M symbols vs
@@ -213,8 +215,12 @@ def encode_device_merge(
     unique-set scatter instead of ``max_slots`` chained ones — word
     ownership already makes ALL live indices globally unique, and per-slot
     sentinel ranges keep the dead ones unique too; bit-identical output
-    either way (A/B for the chained scatters' per-call output-buffer
-    materialization cost; see docs/BENCHMARKS.md round 4).
+    either way.  **Measured on v5e (round 4): the fused form LOSES** —
+    encode 64.2 vs 61.3 ms, and the isolated primitives show chained
+    scatters are free (12 calls 35.4 ms vs one call 39.4 ms: XLA aliases
+    the chain in place).  Kept as the tested A/B mechanism that refuted the
+    per-call-materialization hypothesis; production always passes False
+    (docs/BENCHMARKS.md round 4).
     """
     n = data.shape[0]
     assert n % GROUP == 0, "padded chunk size must be a multiple of 32"

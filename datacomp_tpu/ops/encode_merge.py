@@ -368,12 +368,34 @@ def encode_device_merge(
     return out, total_bits
 
 
+#: static scatter-slot buckets (= max code length + 2, see
+#: ``encode_device_merge``): finer than round 3/4's (10, 18, 33) because the
+#: ownership scatter — the kernel's governing cost — is LINEAR in the slot
+#: count and the depth-bounded merge made it ~77-93% of the kernel: the
+#: round-5 on-chip A/B measured 10-bit text at 46.2 ms with 12 slots vs
+#: 65.5 ms at the old 18-slot bucket (tools/ab_merge_r5.py,
+#: docs/BENCHMARKS.md round 5).  Each bucket is one executable (compile +
+#: program load, one-time via the persistent XLA cache); 2-slot granularity
+#: caps the waste at ~2 scatter waves.
+SLOT_BUCKETS = (10, 12, 14, 16, 18, 33)
+
+
+def slot_bucket(max_len: int) -> int:
+    """Static scatter-slot bucket for a HOST-known max code length.  33
+    slots suffice even for 32-bit codes (a 32-symbol group owns at most
+    ``maxlen + 1`` words), hence the clamp — the old 3-bucket expression
+    raised StopIteration at ``max_len == 32``."""
+    return next(b for b in SLOT_BUCKETS if b >= min(max_len, 31) + 2)
+
+
 def _slot_case(lengths) -> jnp.ndarray:
-    """0/1/2 bucket index for a TRACED max code length: ≤8 → 10 slots,
-    ≤16 → 18, else 33 (mirrors the host paths' static ``ml + 2``
-    bucketing)."""
+    """Bucket index into :data:`SLOT_BUCKETS` for a TRACED max code length
+    (mirrors :func:`slot_bucket`'s static bucketing)."""
     ml = jnp.max(lengths)
-    return (ml > 8).astype(jnp.int32) + (ml > 16).astype(jnp.int32)
+    out = jnp.int32(0)
+    for b in SLOT_BUCKETS[:-1]:
+        out = out + (ml + 2 > b).astype(jnp.int32)
+    return out
 
 
 def encode_device_merge_slotted(data, valid_len, lengths, codes,
@@ -383,8 +405,8 @@ def encode_device_merge_slotted(data, valid_len, lengths, codes,
     the static ``max_slots`` bucketing the host-table paths use is
     unavailable — and paying the full 33-slot ownership scatter costs ~2x
     on typical data; measured 130 → 82–86 ms/16 MB, docs/BENCHMARKS.md
-    round 3).  ``lax.switch`` compiles all three slot buckets into the
-    executable and runs exactly ONE at runtime."""
+    round 3).  ``lax.switch`` compiles every :data:`SLOT_BUCKETS` branch
+    into the executable and runs exactly ONE at runtime."""
     def enc(slots):
         def branch(_):
             return encode_device_merge(
@@ -393,7 +415,9 @@ def encode_device_merge_slotted(data, valid_len, lengths, codes,
             )
         return branch
 
-    return jax.lax.switch(_slot_case(lengths), [enc(10), enc(18), enc(33)], None)
+    return jax.lax.switch(
+        _slot_case(lengths), [enc(b) for b in SLOT_BUCKETS], None
+    )
 
 
 def encode_device_merge_batch_slotted(data, valid, lengths, codes,
@@ -413,7 +437,9 @@ def encode_device_merge_batch_slotted(data, valid, lengths, codes,
             )(data, valid, lengths, codes)
         return branch
 
-    return jax.lax.switch(_slot_case(lengths), [enc(10), enc(18), enc(33)], None)
+    return jax.lax.switch(
+        _slot_case(lengths), [enc(b) for b in SLOT_BUCKETS], None
+    )
 
 
 def words_to_bytes(words: np.ndarray, total_bits: int) -> bytes:

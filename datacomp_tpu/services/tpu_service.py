@@ -38,6 +38,7 @@ from ..ops import (
     device_codebook,
     encode_device_merge,
     encode_device_merge_batch_slotted,
+    slot_bucket,
     encode_device_merge_slotted,
     histogram_device,
     max_code_len,
@@ -410,7 +411,7 @@ class TpuChunkCodec(ChunkCodec):
         # (code_bits plane packing not used: see the A/B in
         # encode_merge.lookup_symbol_tables / docs/BENCHMARKS.md)
         ml = int(lengths.max()) if lengths.any() else 1
-        slots = next(b for b in (10, 18, 33) if b >= ml + 2)
+        slots = slot_bucket(ml)
         with metrics.timed(Stage.ENCODING, n):
             if lengths_dev is None:
                 # ONE upload call for data + both tables (the relay charges
@@ -549,7 +550,7 @@ class TpuChunkCodec(ChunkCodec):
                 lens_h[j] = lengths
                 codes_h[j] = codes.astype(np.uint32)
             ml = int(lens_h.max()) if lens_h.any() else 1
-            slots = next(b for b in (10, 18, 33) if b >= ml + 2)
+            slots = slot_bucket(ml)
         else:
             slots = 33
         fn = self._batched_pipeline(Bs, v2, host_tables, slots)

@@ -418,3 +418,24 @@ class TestEncodeMergeLargeEntropy:
         assert int(tb) == int(l64.sum())
         got = words_to_bytes(np.asarray(words)[: (int(tb) + 31) // 32], int(tb))
         assert got == encode_bitstream(data, lens, codes)
+
+
+class TestSlotBuckets:
+    def test_slot_bucket_static(self):
+        from datacomp_tpu.ops import SLOT_BUCKETS, slot_bucket
+
+        assert SLOT_BUCKETS == (10, 12, 14, 16, 18, 33)
+        assert [slot_bucket(m) for m in (1, 8, 10, 14, 16, 17, 32)] == [
+            10, 10, 12, 16, 18, 33, 33
+        ]
+        # ml=32 must clamp (the old 3-bucket expression raised StopIteration)
+        assert slot_bucket(32) == 33
+
+    def test_traced_case_matches_static(self):
+        from datacomp_tpu.ops.encode_merge import SLOT_BUCKETS, _slot_case, slot_bucket
+
+        for ml in range(1, 33):
+            lens = np.zeros(256, np.int32)
+            lens[:2] = [ml, ml]
+            idx = int(_slot_case(jnp.asarray(lens)))
+            assert SLOT_BUCKETS[idx] == slot_bucket(ml), ml

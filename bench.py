@@ -16,8 +16,9 @@ per-backend numbers and decompress throughput.
 Note on this environment: the TPU is reached through a loopback relay whose
 device→host transfer path sustains ~40 MB/s, which caps the TPU service's
 end-to-end number far below the device kernels' throughput (histogram
-11-14 GB/s, encode ~275 MB/s, decode 1.5-2.2 GB/s measured on-chip with
-DCE-proof harnesses); per-op timings live in docs/BENCHMARKS.md.
+9-14 GB/s, encode 360-450 MB/s, decode 1.5-1.8 GB/s measured on-chip with
+DCE-proof harnesses, KERNELS_r05.json); per-op timings live in
+docs/BENCHMARKS.md.
 """
 
 import json
@@ -288,7 +289,10 @@ def main() -> int:
             lat_s = relay["latency_ms"] / 1e3
             live_mb = (1.0 - 0.25) * size_mb
             chunks_live = max(round(live_mb / chunk_mb), 1)
-            serial_s = size_mb / ceiling + chunks_live * (0.065 + 3 * lat_s)
+            # 0.048 s = the round-5 per-chunk device exec (bounded-merge
+            # encode 46.6 ms + dispatch misc, KERNELS_r05.json; was 65 ms
+            # before the depth-bounded merge tree)
+            serial_s = size_mb / ceiling + chunks_live * (0.048 + 3 * lat_s)
             extra["tpu_serialized_ceiling_mbps"] = round(size_mb / serial_s, 1)
             extra["tpu_vs_serialized_ceiling"] = round(
                 measured["tpu"]["compress_mbps"] * serial_s / size_mb, 2

@@ -223,7 +223,7 @@ def code_bits_bucket(max_len: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("out_words", "subblock", "max_slots", "code_bits",
-                     "fused_scatter", "merge_bound"),
+                     "fused_scatter", "merge_bound", "window_scatter"),
 )
 def encode_device_merge(
     data: jnp.ndarray,       # uint8[N], N % 32 == 0 (padded chunk)
@@ -237,6 +237,8 @@ def encode_device_merge(
     fused_scatter: bool = False,  # ONE scatter over all slots vs one per slot
     merge_bound: int = 0,    # A/B override of the merge depth bound (0 =
                              # derive from max_slots — every production call)
+    window_scatter: bool = False,  # ONE windowed scatter-ADD: one index per
+                                   # GROUP, contiguous max_slots-word updates
 ):
     """Returns (words uint32[out_words], total_bits int32[, gaps]).
 
@@ -316,8 +318,10 @@ def encode_device_merge(
     # <= 32 bits, so glen <= 1024 per group and v_next <= 32*ng + 1 — every
     # live index is < 32*ng + 1 regardless of overflow.
     oob_base = jnp.int32(max(out_words, 32 * ng + 1))
+    assert not (fused_scatter and window_scatter)
     fused_tgts = []
     fused_vals = []
+    window_vals = []
     for j in range(min(GROUP + 1, max_slots)):  # static loop over owned-word slots
         val = jnp.where(
             d > 0,
@@ -351,6 +355,12 @@ def encode_device_merge(
             )
             fused_tgts.append(tgt)
             fused_vals.append(val)
+        elif window_scatter:
+            # dead slots masked to ZERO (not routed OOB): under scatter-ADD a
+            # zero contribution is exact, and group g's live slots never
+            # reach a word owned by another group (slot j is live iff
+            # j < count = v_{g+1} - v_g, i.e. word v_g + j < v_{g+1})
+            window_vals.append(jnp.where(j < count, val, jnp.uint32(0)))
         else:
             tgt = jnp.where(
                 j < count, v + j, oob_base + jnp.arange(ng, dtype=jnp.int32)
@@ -360,6 +370,32 @@ def encode_device_merge(
         out = out.at[jnp.concatenate(fused_tgts)].set(
             jnp.concatenate(fused_vals), mode="drop", unique_indices=True
         )
+    if window_scatter:
+        # ONE windowed scatter-ADD: ng sorted row indices (group start
+        # words), each update a CONTIGUOUS nslots-word window — 1/nslots-th
+        # the scatter indices of the chained form, vectorizable window
+        # writes, and the indices really are sorted (group starts are
+        # monotone), so the sorted hint is legal here — unlike the
+        # OOB-sentinel forms, where it provably drops writes.  Overlapping
+        # windows are exact by the dead-slot zero masking above.  The
+        # operand is padded by nslots words so end-of-stream windows stay
+        # in bounds (overflowing streams may drop windows via FILL_OR_DROP;
+        # the host-side capacity guard raises on those chunks anyway).
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,),
+        )
+        padded_out = jax.lax.scatter_add(
+            jnp.zeros(out_words + nslots, jnp.uint32),
+            v[:, None],
+            jnp.stack(window_vals, axis=1),  # (ng, nslots)
+            dnums,
+            indices_are_sorted=True,
+            unique_indices=False,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
+        out = padded_out[:out_words]
 
     if subblock:
         assert subblock % GROUP == 0, "subblock must be a multiple of 32 symbols"

@@ -72,25 +72,27 @@ def main() -> None:
     host_stream = encode_bitstream(data, lens, codes)
     host_stream8 = encode_bitstream(data, lens8, codes8)
 
-    def make_enc(l, c, slots_, mb):
+    def make_enc(l, c, slots_, mb, win=False):
         def fn(x):
             w, tb, _ = encode_device_merge(
                 x, jnp.int32(n), l, c, out_words, subblock=subblock,
-                max_slots=slots_, merge_bound=mb,
+                max_slots=slots_, merge_bound=mb, window_scatter=win,
             )
             chk = jnp.sum(w, dtype=jnp.uint32)  # DCE-proof
             return tb + (chk >> jnp.uint32(31)).astype(jnp.int32)
         return fn
 
-    def check_exact(l, c, slots_, mb, expect):
+    def check_exact(l, c, slots_, mb, expect, win=False):
         w, tb, _ = encode_device_merge(
             dd, jnp.int32(n), l, c, out_words, subblock=subblock,
-            max_slots=slots_, merge_bound=mb,
+            max_slots=slots_, merge_bound=mb, window_scatter=win,
         )
         got = words_to_bytes(
             np.asarray(w[: (int(tb) + 31) // 32]), int(tb)
         )
-        assert got == expect, f"bit-exactness FAILED at slots={slots_} mb={mb}"
+        assert got == expect, (
+            f"bit-exactness FAILED at slots={slots_} mb={mb} win={win}"
+        )
 
     def make_merge_only(l, c, mb):
         """Lookup + leaf pack + 5 merge levels + cumsum, NO scatter: the
@@ -144,13 +146,17 @@ def main() -> None:
     check_exact(ld, cd, slots, 0, host_stream)
     check_exact(ld, cd, 18, 0, host_stream)
     check_exact(ld8, cd8, ml8 + 2, 0, host_stream8)
-    print("bit-exactness: all 4 encode cases OK", flush=True)
+    check_exact(ld, cd, slots, 0, host_stream, win=True)
+    check_exact(ld8, cd8, ml8 + 2, 0, host_stream8, win=True)
+    print("bit-exactness: all 6 encode cases OK", flush=True)
 
     cases = [
         ("encode-m32", make_enc(ld, cd, slots, 32), dd),
         ("encode-bounded", make_enc(ld, cd, slots, 0), dd),
         ("encode-b18", make_enc(ld, cd, 18, 0), dd),
         ("encode-cap8", make_enc(ld8, cd8, ml8 + 2, 0), dd),
+        ("encode-window", make_enc(ld, cd, slots, 0, win=True), dd),
+        ("encode-window-cap8", make_enc(ld8, cd8, ml8 + 2, 0, win=True), dd),
         ("merge-only-m32", make_merge_only(ld, cd, 32), dd),
         ("merge-only-bnd", make_merge_only(ld, cd, maxlen), dd),
     ]

@@ -144,22 +144,27 @@ def main() -> None:
     print(f"kind={kind} maxlen={maxlen} slots={slots} ml8={ml8}", flush=True)
     check_exact(ld, cd, slots, 32, host_stream)
     check_exact(ld, cd, slots, 0, host_stream)
-    check_exact(ld, cd, 18, 0, host_stream)
+    # the 18-slot bucket case only covers codebooks within its contract
+    # (max_slots >= maxlen + 2, like every production bucket choice)
+    b18_ok = maxlen + 2 <= 18
+    if b18_ok:
+        check_exact(ld, cd, 18, 0, host_stream)
     check_exact(ld8, cd8, ml8 + 2, 0, host_stream8)
     check_exact(ld, cd, slots, 0, host_stream, win=True)
     check_exact(ld8, cd8, ml8 + 2, 0, host_stream8, win=True)
-    print("bit-exactness: all 6 encode cases OK", flush=True)
+    print("bit-exactness: all encode cases OK", flush=True)
 
     cases = [
         ("encode-m32", make_enc(ld, cd, slots, 32), dd),
         ("encode-bounded", make_enc(ld, cd, slots, 0), dd),
-        ("encode-b18", make_enc(ld, cd, 18, 0), dd),
         ("encode-cap8", make_enc(ld8, cd8, ml8 + 2, 0), dd),
         ("encode-window", make_enc(ld, cd, slots, 0, win=True), dd),
         ("encode-window-cap8", make_enc(ld8, cd8, ml8 + 2, 0, win=True), dd),
         ("merge-only-m32", make_merge_only(ld, cd, 32), dd),
         ("merge-only-bnd", make_merge_only(ld, cd, maxlen), dd),
     ]
+    if b18_ok:
+        cases.insert(2, ("encode-b18", make_enc(ld, cd, 18, 0), dd))
     results = {}
     for name, fn, arg in cases:
         s = slope(fn, arg)
